@@ -1,0 +1,75 @@
+"""Headline benchmark: 512x640 virtual try-on, 30 DDIM steps, single chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline (BASELINE.md north star): < 2.0 s p50 end-to-end per image on TPU.
+vs_baseline = 2.0 / p50_seconds (>1 means beating the target). The reference
+repo publishes no throughput numbers (SURVEY.md §6); the paper setup is an
+A100 HF Space running 50-step fp16 diffusers with two sequential UNet calls
+per step.
+
+The run uses random weights (identical FLOPs/memory traffic to converted
+checkpoints) in bf16 — the production inference dtype.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import dataclasses
+
+    import jax
+
+    from imagdressing_tpu.core.config import PRESETS
+    from imagdressing_tpu.pipelines.dressing import DressingModels, DressingPipeline
+
+    steps = 30
+    h, w = 640, 512
+
+    models = DressingModels.init_random(jax.random.PRNGKey(0))
+    import jax.numpy as jnp
+
+    models = models.cast(jnp.bfloat16)
+
+    preset = dataclasses.replace(
+        PRESETS["basic"], height=h, width=w, num_inference_steps=steps
+    )
+    pipe = DressingPipeline(models, preset)
+
+    rng = np.random.default_rng(0)
+    kwargs = dict(
+        prompt_ids=rng.integers(0, 49407, (1, 77)),
+        negative_prompt_ids=rng.integers(0, 49407, (1, 77)),
+        ref_image=rng.standard_normal((1, h, w, 3)).astype(np.float32).clip(-1, 1),
+        ref_clip_image=rng.standard_normal((1, 224, 224, 3)).astype(np.float32),
+    )
+
+    # compile + warmup
+    pipe(**kwargs)
+
+    times = []
+    for i in range(5):
+        t0 = time.perf_counter()
+        out = pipe(**kwargs, seed=i)
+        times.append(time.perf_counter() - t0)
+    p50 = float(np.median(times))
+
+    print(
+        json.dumps(
+            {
+                "metric": "512x640_tryon_30step_p50_latency",
+                "value": round(p50, 4),
+                "unit": "s/image",
+                "vs_baseline": round(2.0 / p50, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,279 @@
+"""Pallas TPU flash attention with an optional fused second ("reference") KV
+source.
+
+The hybrid attention module of IMAGDressing computes, at every self-attention
+layer of the denoising UNet (reference behavior at
+/root/reference/adapter/attention_processor.py:596-612):
+
+    out = SDPA(q, k_self, v_self) + scale * SDPA(q, k_ref, v_ref)
+
+i.e. two independent softmaxes over two KV sources sharing one Q, combined
+with a user scale. The reference issues two separate sdpa calls,
+materialising the (S x S) attention matrix twice per layer. Here both sources
+stream through ONE kernel invocation: Q is read once, the output is written
+once, and neither (S x S) matrix ever hits HBM.
+
+Layout: q (BH, Sq, D), kv (BH, 2*Skv or Skv, D) where the second half of the
+KV axis is the reference source. D must be a multiple of 128 (callers pad the
+head dim with zeros — exact for q/k logits, and the extra v columns are
+sliced off). Sq/Skv must be multiples of the block sizes; callers fall back
+to the XLA path otherwise (ops/attention.py).
+
+Accumulation is fp32 throughout; inputs may be bf16.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+# Set True (tests) to run the kernel through the Pallas interpreter on CPU.
+INTERPRET = False
+
+
+def _flash_kernel(
+    # scalar prefetch
+    scale_ref,  # (B,) fp32 per-batch ref-source scale
+    # inputs
+    q_ref,  # (1, block_q, D)
+    kv_k_ref,  # (1, block_k, D)
+    kv_v_ref,  # (1, block_k, D)
+    # outputs
+    o_ref,  # (1, block_q, D)
+    # scratch
+    m_scratch,  # (block_q, 128) f32
+    l_scratch,  # (block_q, 128) f32
+    acc_scratch,  # (block_q, D) f32
+    out0_scratch,  # (block_q, D) f32
+    *,
+    sm_scale: float,
+    num_heads: int,
+    blocks_per_source: int,
+    num_sources: int,
+):
+    ki = pl.program_id(2)
+    total_blocks = blocks_per_source * num_sources
+    is_first_of_source = (ki % blocks_per_source) == 0
+    is_last = ki == total_blocks - 1
+
+    @pl.when(is_first_of_source)
+    def _init():
+        m_scratch[...] = jnp.full_like(m_scratch, NEG_INF)
+        l_scratch[...] = jnp.zeros_like(l_scratch)
+        acc_scratch[...] = jnp.zeros_like(acc_scratch)
+
+    # fp32 inputs get full-precision MXU passes (parity mode); bf16 runs the
+    # native fast path.
+    precision = (
+        jax.lax.Precision.HIGHEST
+        if q_ref.dtype == jnp.float32
+        else jax.lax.Precision.DEFAULT
+    )
+    q = q_ref[0].astype(jnp.float32)  # (bq, D)
+    k = kv_k_ref[0].astype(jnp.float32)  # (bk, D)
+    v = kv_v_ref[0].astype(jnp.float32)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    )  # (bq, bk)
+    s = s * sm_scale
+
+    m_prev = m_scratch[:, :1]  # (bq, 1)
+    m_cur = jnp.max(s, axis=-1, keepdims=True)  # (bq, 1)
+    m_new = jnp.maximum(m_prev, m_cur)
+    p = jnp.exp(s - m_new)  # (bq, bk)
+    corr = jnp.exp(m_prev - m_new)  # (bq, 1)
+    l_new = l_scratch[:, :1] * corr + jnp.sum(p, axis=-1, keepdims=True)
+
+    acc = acc_scratch[...] * corr + jax.lax.dot_general(
+        p, v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+
+    m_scratch[...] = jnp.broadcast_to(m_new, m_scratch.shape)
+    l_scratch[...] = jnp.broadcast_to(l_new, l_scratch.shape)
+    acc_scratch[...] = acc
+
+    # Finalize at each source boundary.
+    is_last_of_first_source = (num_sources == 2) and (ki == blocks_per_source - 1)
+
+    @pl.when(is_last_of_first_source)
+    def _stash_source0():
+        out0_scratch[...] = acc_scratch[...] / l_scratch[:, :1]
+
+    @pl.when(is_last)
+    def _finalize():
+        out = acc_scratch[...] / l_scratch[:, :1]
+        if num_sources == 2:
+            bh = pl.program_id(0)
+            b = bh // num_heads
+            ref_scale = scale_ref[b]
+            out = out0_scratch[...] + ref_scale * out
+        o_ref[0] = out.astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_heads",
+        "sm_scale",
+        "block_q",
+        "block_k",
+        "num_sources",
+        "interpret",
+    ),
+)
+def _flash_call(
+    q: jnp.ndarray,  # (BH, Sq, D)
+    k: jnp.ndarray,  # (BH, num_sources*Skv, D)
+    v: jnp.ndarray,
+    ref_scale: jnp.ndarray,  # (B,) fp32
+    *,
+    num_heads: int,
+    sm_scale: float,
+    block_q: int,
+    block_k: int,
+    num_sources: int,
+    interpret: bool = False,
+):
+    bh, sq, d = q.shape
+    skv_total = k.shape[1]
+    blocks_per_source = (skv_total // num_sources) // block_k
+    total_k_blocks = blocks_per_source * num_sources
+
+    grid = (bh, sq // block_q, total_k_blocks)
+
+    kernel = functools.partial(
+        _flash_kernel,
+        sm_scale=sm_scale,
+        num_heads=num_heads,
+        blocks_per_source=blocks_per_source,
+        num_sources=num_sources,
+    )
+
+    flops = 4 * bh * sq * skv_total * d
+    return pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, block_q, d), lambda b, qi, ki, *_: (b, qi, 0)),
+                pl.BlockSpec((1, block_k, d), lambda b, qi, ki, *_: (b, ki, 0)),
+                pl.BlockSpec((1, block_k, d), lambda b, qi, ki, *_: (b, ki, 0)),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, block_q, d), lambda b, qi, ki, *_: (b, qi, 0)
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((block_q, 128), jnp.float32),
+                pltpu.VMEM((block_q, 128), jnp.float32),
+                pltpu.VMEM((block_q, d), jnp.float32),
+                pltpu.VMEM((block_q, d), jnp.float32),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=q.size * 2 + k.size * 2 + v.size * 2,
+            transcendentals=bh * sq * skv_total,
+        ),
+        interpret=(pltpu.InterpretParams() if interpret else False),
+    )(ref_scale, q, k, v)
+
+
+def _pad_head_dim(x: jnp.ndarray, d_pad: int) -> jnp.ndarray:
+    d = x.shape[-1]
+    if d == d_pad:
+        return x
+    pad = [(0, 0)] * (x.ndim - 1) + [(0, d_pad - d)]
+    return jnp.pad(x, pad)
+
+
+def flash_attention(
+    q: jnp.ndarray,  # (B, Sq, H, D)
+    k: jnp.ndarray,  # (B, Skv, H, D)
+    v: jnp.ndarray,
+    k_ref: Optional[jnp.ndarray] = None,  # (B, Skv, H, D) second source
+    v_ref: Optional[jnp.ndarray] = None,
+    ref_scale: Optional[jnp.ndarray] = None,  # scalar or (B,)
+    *,
+    block_q: int = 256,
+    block_k: int = 256,
+) -> jnp.ndarray:
+    """Flash attention over one or two KV sources.
+
+    Returns SDPA(q,k,v) [+ ref_scale * SDPA(q,k_ref,v_ref)], shape (B,Sq,H,D).
+    """
+    b, sq, h, d = q.shape
+    skv = k.shape[1]
+    num_sources = 2 if k_ref is not None else 1
+    if k_ref is not None:
+        assert k_ref.shape == k.shape, (k_ref.shape, k.shape)
+
+    sm_scale = 1.0 / (d**0.5)
+    d_pad = ((d + 127) // 128) * 128
+
+    def fold(x):  # (B,S,H,D) -> (BH, S, Dpad)
+        x = _pad_head_dim(x, d_pad)
+        x = jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, x.shape[1], d_pad)
+        return x
+
+    qf = fold(q)
+    if num_sources == 2:
+        kf = jnp.concatenate([fold(k), fold(k_ref)], axis=1)
+        vf = jnp.concatenate([fold(v), fold(v_ref)], axis=1)
+    else:
+        kf, vf = fold(k), fold(v)
+
+    if ref_scale is None:
+        scale_vec = jnp.ones((b,), jnp.float32)
+    else:
+        scale_vec = jnp.broadcast_to(
+            jnp.asarray(ref_scale, jnp.float32).reshape(-1), (b,)
+        )
+
+    bq = min(block_q, sq)
+    bk = min(block_k, skv)
+    assert sq % bq == 0 and skv % bk == 0, (sq, skv, bq, bk)
+
+    out = _flash_call(
+        qf,
+        kf,
+        vf,
+        scale_vec,
+        num_heads=h,
+        sm_scale=sm_scale,
+        block_q=bq,
+        block_k=bk,
+        num_sources=num_sources,
+        interpret=INTERPRET,
+    )
+    out = out.reshape(b, h, sq, d_pad)[..., :d]
+    return jnp.transpose(out, (0, 2, 1, 3))
+
+
+def flash_attention_supported(sq: int, skv: int, block_q: int = 256,
+                              block_k: int = 256) -> bool:
+    """Shapes the kernel handles without masking; callers fall back to XLA
+    otherwise. SD1.5 self-attn lengths at 512x640: 5120/1280/320/80."""
+    bq = min(block_q, sq)
+    bk = min(block_k, skv)
+    return (
+        sq % bq == 0
+        and skv % bk == 0
+        and sq >= 128
+        and skv >= 128
+        and sq % 8 == 0
+        and skv % 8 == 0
+    )

@@ -1,0 +1,6 @@
+from imagdressing_tpu.train.step import (  # noqa: F401
+    TrainState,
+    make_optimizer,
+    make_train_step,
+    init_train_state,
+)

@@ -1,0 +1,98 @@
+"""Attention dispatch + dual-KV semantics (XLA path; the Pallas kernel runs
+the same contract on TPU and is covered by tests/test_flash_tpu.py there)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from imagdressing_tpu.ops.attention import attention, dual_kv_attention
+
+
+def _np_sdpa(q, k, v, heads):
+    b, s, c = q.shape
+    d = c // heads
+    qh = q.reshape(b, s, heads, d).astype(np.float64)
+    kh = k.reshape(b, k.shape[1], heads, d).astype(np.float64)
+    vh = v.reshape(b, v.shape[1], heads, d).astype(np.float64)
+    logits = np.einsum("bqhd,bkhd->bhqk", qh, kh) / np.sqrt(d)
+    logits -= logits.max(-1, keepdims=True)
+    p = np.exp(logits)
+    p /= p.sum(-1, keepdims=True)
+    out = np.einsum("bhqk,bkhd->bqhd", p, vh)
+    return out.reshape(b, s, c)
+
+
+def test_attention_matches_numpy():
+    rng = np.random.default_rng(0)
+    q, k, v = (rng.standard_normal((2, 16, 8)).astype(np.float32) for _ in range(3))
+    got = attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), num_heads=2)
+    np.testing.assert_allclose(np.asarray(got), _np_sdpa(q, k, v, 2), atol=1e-5)
+
+
+def test_dual_kv_is_sum_of_attentions():
+    rng = np.random.default_rng(1)
+    q, k, v, kr, vr = (
+        rng.standard_normal((2, 16, 8)).astype(np.float32) for _ in range(5)
+    )
+    scale = np.array([0.0, 0.7], np.float32)
+    got = dual_kv_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+        jnp.asarray(kr), jnp.asarray(vr), jnp.asarray(scale), num_heads=2,
+    )
+    want = _np_sdpa(q, k, v, 2) + scale[:, None, None] * _np_sdpa(q, kr, vr, 2)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+    # batch 0 (scale 0) must equal plain attention — the CFG uncond half
+    plain = attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), num_heads=2)
+    np.testing.assert_allclose(np.asarray(got)[0], np.asarray(plain)[0], atol=1e-6)
+
+
+def test_dual_kv_different_ref_length():
+    rng = np.random.default_rng(2)
+    q = rng.standard_normal((1, 16, 8)).astype(np.float32)
+    k = rng.standard_normal((1, 16, 8)).astype(np.float32)
+    v = rng.standard_normal((1, 16, 8)).astype(np.float32)
+    kr = rng.standard_normal((1, 5, 8)).astype(np.float32)
+    vr = rng.standard_normal((1, 5, 8)).astype(np.float32)
+    got = dual_kv_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+        jnp.asarray(kr), jnp.asarray(vr), 0.5, num_heads=2,
+    )
+    want = _np_sdpa(q, k, v, 2) + 0.5 * _np_sdpa(q, kr, vr, 2)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
+
+
+def test_flash_kernel_interpret_mode():
+    """Run the Pallas dual-KV kernel through the interpreter on CPU."""
+    import imagdressing_tpu.kernels.flash_attention as fa
+
+    rng = np.random.default_rng(3)
+    B, S, H, D = 1, 256, 2, 8
+    q, k, v, kr, vr = (
+        rng.standard_normal((B, S, H, D)).astype(np.float32) for _ in range(5)
+    )
+    scale = np.array([0.5], np.float32)
+
+    fa.INTERPRET = True
+    try:
+        got = fa.flash_attention(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+            jnp.asarray(kr), jnp.asarray(vr), jnp.asarray(scale),
+            block_q=128, block_k=128,
+        )
+        got_single = fa.flash_attention(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+            block_q=128, block_k=128,
+        )
+    finally:
+        fa.INTERPRET = False
+
+    def np_sdpa4(q, k, v):
+        logits = np.einsum("bqhd,bkhd->bhqk", q, k).astype(np.float64) / np.sqrt(D)
+        logits -= logits.max(-1, keepdims=True)
+        p = np.exp(logits)
+        p /= p.sum(-1, keepdims=True)
+        return np.einsum("bhqk,bkhd->bqhd", p, v)
+
+    want = np_sdpa4(q, k, v) + 0.5 * np_sdpa4(q, kr, vr)
+    np.testing.assert_allclose(np.asarray(got), want, atol=2e-3)
+    np.testing.assert_allclose(np.asarray(got_single), np_sdpa4(q, k, v), atol=2e-3)
