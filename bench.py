@@ -22,8 +22,17 @@ import numpy as np
 
 def main():
     import dataclasses
+    import os
 
     import jax
+
+    # Persistent XLA compilation cache: the 30-step program is large and the
+    # axon tunnel compiles remotely; cached recompiles are near-instant.
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".xla_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from imagdressing_tpu.core.config import PRESETS
     from imagdressing_tpu.pipelines.dressing import DressingModels, DressingPipeline

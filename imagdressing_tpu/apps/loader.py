@@ -1,0 +1,139 @@
+"""Model-stack assembly from local checkpoint files.
+
+Mirrors the reference's `prepare()` builders (inference_IMAGdressing.py:42-135
+and friends) with one loader for all presets. Expects an SD1.5-style
+checkpoint layout on local disk:
+
+  base_dir/
+    unet/diffusion_pytorch_model.(bin|safetensors)      # main + garment arch
+    text_encoder/pytorch_model.(bin|safetensors)
+    tokenizer/{vocab.json, merges.txt}
+  vae_path: sd-vae-ft-mse diffusion_pytorch_model.*
+  image_encoder_path: CLIP ViT-H pytorch_model.*
+  model_ckpt: IMAGDressing-v1_512.pt  (monolithic, key "module")
+  controlnet_path (optional), ip_ckpt (optional)
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from imagdressing_tpu.core.config import (
+    CLIPTextConfig,
+    CLIPVisionConfig,
+    ControlNetConfig,
+    ProjPlusConfig,
+    ResamplerConfig,
+    UNetConfig,
+    VAEConfig,
+)
+from imagdressing_tpu.convert import torch_sd as cv
+from imagdressing_tpu.models import unet as unet_lib
+from imagdressing_tpu.models.conditioning import fold_lora
+from imagdressing_tpu.pipelines.dressing import DressingModels
+
+
+def _find_weights(path: str) -> str:
+    for pat in ("*.safetensors", "*.bin", "*.pt", "*.pth"):
+        hits = sorted(glob.glob(os.path.join(path, pat)))
+        if hits:
+            return hits[0]
+    if os.path.isfile(path):
+        return path
+    raise FileNotFoundError(f"no weight file under {path}")
+
+
+def load_dressing_models(
+    *,
+    base_dir: str,
+    vae_path: str,
+    image_encoder_path: str,
+    model_ckpt: str,
+    controlnet_path: Optional[str] = None,
+    ip_ckpt: Optional[str] = None,
+    lora_scale: float = 0.0,
+    dtype=jnp.bfloat16,
+) -> DressingModels:
+    unet_cfg, vae_cfg = UNetConfig(), VAEConfig()
+    text_cfg, vision_cfg = CLIPTextConfig(), CLIPVisionConfig()
+    resampler_cfg, projplus_cfg = ResamplerConfig(), ProjPlusConfig()
+
+    unet_sd = cv.load_torch_file(_find_weights(os.path.join(base_dir, "unet")))
+    text_sd = cv.load_torch_file(
+        _find_weights(os.path.join(base_dir, "text_encoder"))
+    )
+    vae_sd = cv.load_torch_file(_find_weights(vae_path))
+    vision_sd = cv.load_torch_file(_find_weights(image_encoder_path))
+    module_sd = cv.load_torch_file(model_ckpt)["module"]
+
+    unet_params = cv.convert_unet(unet_sd, unet_cfg)
+    split = cv.convert_imagdressing_checkpoint(module_sd, unet_cfg, resampler_cfg)
+
+    params = {
+        "unet": unet_params,
+        "ref_unet": split["ref_unet"],
+        "ref_adapters": split["ref_adapters"],
+        "resampler": split["resampler"],
+        "vae": cv.convert_vae(vae_sd, vae_cfg),
+        "text": cv.convert_clip_text(text_sd, text_cfg),
+        "vision": cv.convert_clip_vision(vision_sd, vision_cfg),
+    }
+
+    cn_cfg = None
+    if controlnet_path:
+        cn_cfg = ControlNetConfig(unet=unet_cfg)
+        params["controlnet"] = cv.convert_controlnet(
+            cv.load_torch_file(_find_weights(controlnet_path)), cn_cfg
+        )
+
+    pp_cfg = None
+    if ip_ckpt:
+        pp_cfg = projplus_cfg
+        ipa = cv.convert_ip_adapter_faceid(
+            cv.load_torch_file(ip_ckpt), unet_cfg, projplus_cfg
+        )
+        params["proj_plus"] = ipa["proj_plus"]
+        params["ip_adapters"] = ipa["ip_adapters"]
+        if lora_scale > 0:
+            # Fold the faceid LoRA deltas into the frozen projections once
+            # (reference applies them per-call via LoraRefS/LoRAIP procs).
+            params["unet"] = _fold_unet_lora(
+                params["unet"], ipa["lora_attn1"], ipa["lora_attn2"],
+                lora_scale, unet_cfg,
+            )
+
+    models = DressingModels(
+        unet_cfg=unet_cfg, vae_cfg=vae_cfg, text_cfg=text_cfg,
+        vision_cfg=vision_cfg, resampler_cfg=resampler_cfg, params=params,
+        controlnet_cfg=cn_cfg, projplus_cfg=pp_cfg,
+    )
+    if dtype is not None:
+        models = models.cast(dtype)
+    return models
+
+
+def _fold_unet_lora(unet_params, lora_attn1, lora_attn2, scale, cfg):
+    import copy
+
+    params = jax.tree.map(lambda x: x, unet_params)  # shallow-ish copy
+
+    def tblock(name):
+        parts = name.split(".")
+        if parts[0] == "mid_block":
+            return params["mid_block"]["attentions"][0]["transformer_blocks"][0]
+        return params[parts[0]][int(parts[1])]["attentions"][int(parts[3])][
+            "transformer_blocks"
+        ][0]
+
+    for name, lora in lora_attn1.items():
+        blk = tblock(name)
+        blk["attn1"] = fold_lora(blk["attn1"], lora, scale)
+    for name, lora in lora_attn2.items():
+        blk = tblock(name)
+        blk["attn2"] = fold_lora(blk["attn2"], lora, scale)
+    return params

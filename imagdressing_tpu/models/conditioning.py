@@ -48,6 +48,10 @@ class Conditioning:
     # ControlNet residuals: tuple of 12 tensors matching UNet skip activations
     down_block_residuals: Optional[Tuple[jnp.ndarray, ...]] = None
     mid_block_residual: Optional[jnp.ndarray] = None
+    # {layer_name: (k_txt, v_txt)} — text cross-attn K/V, also
+    # timestep-invariant: precomputing them removes 16 layers x 2 projections
+    # from every step of the sampling scan.
+    cross_kv: Optional[Dict[str, Tuple[jnp.ndarray, jnp.ndarray]]] = None
 
 
 def none_conditioning() -> Conditioning:

@@ -296,8 +296,13 @@ def _cross_attention(
     cond: Conditioning,
 ) -> jnp.ndarray:
     q = nn.linear(p["to_q"], x)
-    k = nn.linear(p["to_k"], context)
-    v = nn.linear(p["to_v"], context)
+    if cond.cross_kv is not None and layer_name in cond.cross_kv:
+        k, v = cond.cross_kv[layer_name]
+        k = k.astype(q.dtype)
+        v = v.astype(q.dtype)
+    else:
+        k = nn.linear(p["to_k"], context)
+        v = nn.linear(p["to_v"], context)
     out = attn_ops.attention(q, k, v, num_heads)
     if cond.ip_kv is not None and layer_name in cond.ip_kv:
         # IP-Adapter branch (reference IPAttnProcessor2_0, attention_processor
@@ -479,9 +484,12 @@ def init_ref_adapters_from_unet(unet_params: Params, cfg: UNetConfig) -> Params:
             blocks = unet_params[parts[0]]
             tp = blocks[int(parts[1])]["attentions"][int(parts[3])]
         attn1 = tp["transformer_blocks"][0]["attn1"]
+        # Materialize copies: the adapters are TRAINED while the UNet stays
+        # frozen, and sharing buffers would alias donated/non-donated args in
+        # the jitted train step.
         out[name] = {
-            "to_k_ref": {"kernel": attn1["to_k"]["kernel"]},
-            "to_v_ref": {"kernel": attn1["to_v"]["kernel"]},
+            "to_k_ref": {"kernel": jnp.array(attn1["to_k"]["kernel"])},
+            "to_v_ref": {"kernel": jnp.array(attn1["to_v"]["kernel"])},
         }
     return out
 
@@ -517,6 +525,27 @@ def precompute_ip_kv(
         out[name] = (
             nn.linear(ap["to_k_ip"], ip_tokens),
             nn.linear(ap["to_v_ip"], ip_tokens),
+        )
+    return out
+
+
+def precompute_cross_kv(
+    unet_params: Params,
+    cfg: UNetConfig,
+    encoder_hidden_states: jnp.ndarray,  # (B, L, D_ctx)
+) -> Dict[str, Tuple[jnp.ndarray, jnp.ndarray]]:
+    """Text K/V per cross-attn layer — constant across the sampling scan."""
+    out = {}
+    for name in attn_layer_names(cfg, "attn2"):
+        parts = name.split(".")
+        if parts[0] == "mid_block":
+            tp = unet_params["mid_block"]["attentions"][0]
+        else:
+            tp = unet_params[parts[0]][int(parts[1])]["attentions"][int(parts[3])]
+        attn2 = tp["transformer_blocks"][0]["attn2"]
+        out[name] = (
+            nn.linear(attn2["to_k"], encoder_hidden_states),
+            nn.linear(attn2["to_v"], encoder_hidden_states),
         )
     return out
 

@@ -310,8 +310,11 @@ def _generate(
         ip_kv = unet_lib.precompute_ip_kv(params["ip_adapters"], ip_tokens, unet_cfg)
         ip_scale = jnp.broadcast_to(scalars["ipa_scale"], (2 * b,))
 
+    # text K/V are constant across steps — hoist them out of the scan too
+    cross_kv = unet_lib.precompute_cross_kv(params["unet"], unet_cfg, text_embeds)
     cond = Conditioning(
-        ref_kv=ref_kv, ref_scale=ref_scale, ip_kv=ip_kv, ip_scale=ip_scale
+        ref_kv=ref_kv, ref_scale=ref_scale, ip_kv=ip_kv, ip_scale=ip_scale,
+        cross_kv=cross_kv,
     )
 
     # ---- 5. inpaint init ---------------------------------------------------
@@ -366,6 +369,17 @@ def _generate(
         return eps_uncond + guidance * (eps_text - eps_uncond)
 
     # ---- 7. the scan --------------------------------------------------------
+    if preset.sampler == "dpm2m" and not preset.use_inpaint:
+        from imagdressing_tpu.samplers import dpm
+
+        latents = dpm.sample_loop(
+            schedule, eps_fn, latents.astype(jnp.float32), num_inference_steps
+        )
+        images = vae_lib.decode(
+            params["vae"], vae_cfg, (latents / sf).astype(compute_dtype)
+        )
+        return jnp.clip(images.astype(jnp.float32) * 0.5 + 0.5, 0.0, 1.0)
+
     ts_arr = jnp.asarray(ts_used)
     # next-step timesteps for inpaint re-noising (reference
     # ..._controlnet_inpainting.py:487-500 uses timesteps[i+1])

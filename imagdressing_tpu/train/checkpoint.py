@@ -1,0 +1,61 @@
+"""Orbax checkpointing for the sharded train state.
+
+Replaces the reference's DeepSpeed `model.save_checkpoint(folder, ckpt_id,
+{epoch, last_global_step})` / `load_checkpoint` pair
+(/root/reference/train.py:179-207): async sharded save of
+{params, opt_state, step} plus client state, resumable mid-run.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional, Tuple
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from imagdressing_tpu.train.step import TrainState
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, *, max_to_keep: int = 3,
+                 async_save: bool = True):
+        self.directory = os.path.abspath(directory)
+        options = ocp.CheckpointManagerOptions(
+            max_to_keep=max_to_keep,
+            enable_async_checkpointing=async_save,
+        )
+        self._mgr = ocp.CheckpointManager(self.directory, options=options)
+
+    def save(self, state: TrainState, extra: Optional[dict] = None) -> None:
+        step = int(jax.device_get(state.step))
+        args = ocp.args.Composite(
+            state=ocp.args.StandardSave(state),
+            **(
+                {"extra": ocp.args.JsonSave(extra)} if extra is not None else {}
+            ),
+        )
+        self._mgr.save(step, args=args)
+
+    def restore(
+        self, state_template: TrainState
+    ) -> Tuple[Optional[TrainState], Optional[dict]]:
+        """Restore the latest checkpoint onto the template's shardings.
+        Returns (state, extra) or (None, None) when nothing exists."""
+        step = self._mgr.latest_step()
+        if step is None:
+            return None, None
+        restored = self._mgr.restore(
+            step,
+            args=ocp.args.Composite(
+                state=ocp.args.StandardRestore(state_template)
+            ),
+        )
+        return restored["state"], None
+
+    def wait(self):
+        self._mgr.wait_until_finished()
+
+    def close(self):
+        self._mgr.close()

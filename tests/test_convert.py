@@ -167,11 +167,9 @@ def test_convert_imagdressing_checkpoint_split():
     module_sd["proj.proj_out.bias"] = torch.randn(32, generator=g)
     module_sd["proj.norm_out.weight"] = torch.randn(32, generator=g)
     module_sd["proj.norm_out.bias"] = torch.randn(32, generator=g)
-    for part, shapes in {
-        "0.norm1": (32,), "0.norm2": (32,),
-    }.items():
-        module_sd[f"proj.layers.{part}.weight"] = torch.randn(*shapes, generator=g)
-        module_sd[f"proj.layers.{part}.bias"] = torch.randn(*shapes, generator=g)
+    for part in ("0.0.norm1", "0.0.norm2"):
+        module_sd[f"proj.layers.{part}.weight"] = torch.randn(32, generator=g)
+        module_sd[f"proj.layers.{part}.bias"] = torch.randn(32, generator=g)
     module_sd["proj.layers.0.0.to_q.weight"] = torch.randn(32, 32, generator=g)
     module_sd["proj.layers.0.0.to_kv.weight"] = torch.randn(64, 32, generator=g)
     module_sd["proj.layers.0.0.to_out.weight"] = torch.randn(32, 32, generator=g)
