@@ -14,10 +14,12 @@ stream through ONE kernel invocation: Q is read once, the output is written
 once, and neither (S x S) matrix ever hits HBM.
 
 Layout: q (BH, Sq, D), kv (BH, 2*Skv or Skv, D) where the second half of the
-KV axis is the reference source. D must be a multiple of 128 (callers pad the
-head dim with zeros — exact for q/k logits, and the extra v columns are
-sliced off). Sq/Skv must be multiples of the block sizes; callers fall back
-to the XLA path otherwise (ops/attention.py).
+KV axis is the reference source. D stays UNPADDED in HBM (SD1.5 head dims
+are 40/80/160): padding to the 128-lane tile only happens inside VMEM, so
+KV re-reads across q-block revisits move 3.2x fewer bytes than a padded
+layout — the MXU runs the 40-wide contraction at the same hardware
+efficiency either way. Sq/Skv must be multiples of the block sizes; callers
+fall back to the XLA path otherwise (ops/attention.py).
 
 Accumulation is fp32 throughout; inputs may be bf16.
 """
@@ -63,44 +65,58 @@ def _flash_kernel(
     is_first_of_source = (ki % blocks_per_source) == 0
     is_last = ki == total_blocks - 1
 
+    if num_sources == 2:
+        bh = pl.program_id(0)
+        ref_scale = scale_ref[bh // num_heads]
+        # skip the whole reference-source pass when this batch element's
+        # scale is 0 (the CFG uncond half — reference semantics inject the
+        # garment into the cond branch only)
+        skip = jnp.logical_and(ki >= blocks_per_source, ref_scale == 0.0)
+    else:
+        ref_scale = jnp.float32(0.0)
+        skip = False
+
     @pl.when(is_first_of_source)
     def _init():
         m_scratch[...] = jnp.full_like(m_scratch, NEG_INF)
         l_scratch[...] = jnp.zeros_like(l_scratch)
         acc_scratch[...] = jnp.zeros_like(acc_scratch)
 
-    # fp32 inputs get full-precision MXU passes (parity mode); bf16 runs the
-    # native fast path.
-    precision = (
-        jax.lax.Precision.HIGHEST
-        if q_ref.dtype == jnp.float32
-        else jax.lax.Precision.DEFAULT
-    )
-    q = q_ref[0].astype(jnp.float32)  # (bq, D)
-    k = kv_k_ref[0].astype(jnp.float32)  # (bk, D)
-    v = kv_v_ref[0].astype(jnp.float32)
+    @pl.when(jnp.logical_not(skip))
+    def _compute():
+        # MXU dots run in the INPUT dtype (bf16 native single-pass; fp32
+        # parity mode uses full-precision passes) and accumulate fp32.
+        # Casting bf16 inputs up to fp32 before the dot would force the
+        # multi-pass fp32 MXU path for no accuracy gain.
+        is_f32 = q_ref.dtype == jnp.float32
+        precision = (
+            jax.lax.Precision.HIGHEST if is_f32 else jax.lax.Precision.DEFAULT
+        )
+        q = q_ref[0]  # (bq, D)
+        k = kv_k_ref[0]  # (bk, D)
+        v = kv_v_ref[0]
 
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=precision,
-    )  # (bq, bk)
-    s = s * sm_scale
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )  # (bq, bk) fp32
+        s = s * sm_scale
 
-    m_prev = m_scratch[:, :1]  # (bq, 1)
-    m_cur = jnp.max(s, axis=-1, keepdims=True)  # (bq, 1)
-    m_new = jnp.maximum(m_prev, m_cur)
-    p = jnp.exp(s - m_new)  # (bq, bk)
-    corr = jnp.exp(m_prev - m_new)  # (bq, 1)
-    l_new = l_scratch[:, :1] * corr + jnp.sum(p, axis=-1, keepdims=True)
+        m_prev = m_scratch[:, :1]  # (bq, 1)
+        m_cur = jnp.max(s, axis=-1, keepdims=True)  # (bq, 1)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(s - m_new)  # (bq, bk) fp32
+        corr = jnp.exp(m_prev - m_new)  # (bq, 1)
+        l_new = l_scratch[:, :1] * corr + jnp.sum(p, axis=-1, keepdims=True)
 
-    acc = acc_scratch[...] * corr + jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=precision,
-    )
+        acc = acc_scratch[...] * corr + jax.lax.dot_general(
+            p.astype(q.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )
 
-    m_scratch[...] = jnp.broadcast_to(m_new, m_scratch.shape)
-    l_scratch[...] = jnp.broadcast_to(l_new, l_scratch.shape)
-    acc_scratch[...] = acc
+        m_scratch[...] = jnp.broadcast_to(m_new, m_scratch.shape)
+        l_scratch[...] = jnp.broadcast_to(l_new, l_scratch.shape)
+        acc_scratch[...] = acc
 
     # Finalize at each source boundary.
     is_last_of_first_source = (num_sources == 2) and (ki == blocks_per_source - 1)
@@ -111,12 +127,12 @@ def _flash_kernel(
 
     @pl.when(is_last)
     def _finalize():
-        out = acc_scratch[...] / l_scratch[:, :1]
         if num_sources == 2:
-            bh = pl.program_id(0)
-            b = bh // num_heads
-            ref_scale = scale_ref[b]
-            out = out0_scratch[...] + ref_scale * out
+            denom = l_scratch[:, :1]
+            safe = jnp.where(denom == 0.0, 1.0, denom)  # skipped source
+            out = out0_scratch[...] + ref_scale * (acc_scratch[...] / safe)
+        else:
+            out = acc_scratch[...] / l_scratch[:, :1]
         o_ref[0] = out.astype(o_ref.dtype)
 
 
@@ -192,14 +208,6 @@ def _flash_call(
     )(ref_scale, q, k, v)
 
 
-def _pad_head_dim(x: jnp.ndarray, d_pad: int) -> jnp.ndarray:
-    d = x.shape[-1]
-    if d == d_pad:
-        return x
-    pad = [(0, 0)] * (x.ndim - 1) + [(0, d_pad - d)]
-    return jnp.pad(x, pad)
-
-
 def flash_attention(
     q: jnp.ndarray,  # (B, Sq, H, D)
     k: jnp.ndarray,  # (B, Skv, H, D)
@@ -208,8 +216,8 @@ def flash_attention(
     v_ref: Optional[jnp.ndarray] = None,
     ref_scale: Optional[jnp.ndarray] = None,  # scalar or (B,)
     *,
-    block_q: int = 256,
-    block_k: int = 256,
+    block_q: int = 1024,
+    block_k: int = 1024,
 ) -> jnp.ndarray:
     """Flash attention over one or two KV sources.
 
@@ -222,12 +230,9 @@ def flash_attention(
         assert k_ref.shape == k.shape, (k_ref.shape, k.shape)
 
     sm_scale = 1.0 / (d**0.5)
-    d_pad = ((d + 127) // 128) * 128
 
-    def fold(x):  # (B,S,H,D) -> (BH, S, Dpad)
-        x = _pad_head_dim(x, d_pad)
-        x = jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, x.shape[1], d_pad)
-        return x
+    def fold(x):  # (B,S,H,D) -> (BH, S, D)
+        return jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, x.shape[1], d)
 
     qf = fold(q)
     if num_sources == 2:
@@ -243,9 +248,9 @@ def flash_attention(
             jnp.asarray(ref_scale, jnp.float32).reshape(-1), (b,)
         )
 
-    bq = min(block_q, sq)
-    bk = min(block_k, skv)
-    assert sq % bq == 0 and skv % bk == 0, (sq, skv, bq, bk)
+    bq = _pick_block(sq, block_q)
+    bk = _pick_block(skv, block_k)
+    assert bq is not None and bk is not None, (sq, skv, block_q, block_k)
 
     out = _flash_call(
         qf,
@@ -259,21 +264,27 @@ def flash_attention(
         num_sources=num_sources,
         interpret=INTERPRET,
     )
-    out = out.reshape(b, h, sq, d_pad)[..., :d]
+    out = out.reshape(b, h, sq, d)
     return jnp.transpose(out, (0, 2, 1, 3))
 
 
-def flash_attention_supported(sq: int, skv: int, block_q: int = 256,
-                              block_k: int = 256) -> bool:
+def _pick_block(s: int, preferred: int) -> Optional[int]:
+    """Largest power-of-two block <= preferred that divides s (>= 128)."""
+    b = preferred
+    while b >= 128:
+        if s % b == 0:
+            return b
+        b //= 2
+    return None
+
+
+def flash_attention_supported(sq: int, skv: int, block_q: int = 1024,
+                              block_k: int = 1024) -> bool:
     """Shapes the kernel handles without masking; callers fall back to XLA
     otherwise. SD1.5 self-attn lengths at 512x640: 5120/1280/320/80."""
-    bq = min(block_q, sq)
-    bk = min(block_k, skv)
     return (
-        sq % bq == 0
-        and skv % bk == 0
-        and sq >= 128
-        and skv >= 128
-        and sq % 8 == 0
-        and skv % 8 == 0
+        sq >= 256
+        and skv >= 256
+        and _pick_block(sq, block_q) is not None
+        and _pick_block(skv, block_k) is not None
     )

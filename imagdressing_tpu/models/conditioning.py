@@ -52,6 +52,16 @@ class Conditioning:
     # timestep-invariant: precomputing them removes 16 layers x 2 projections
     # from every step of the sampling scan.
     cross_kv: Optional[Dict[str, Tuple[jnp.ndarray, jnp.ndarray]]] = None
+    # Self-attention injection mode: "parallel" (RefSAttnProcessor2_0, the
+    # shipped scheme: separate softmax, added with ref_scale) or "concat"
+    # (SAttnProcessor2_0, attention_processor.py:155-161: garment tokens
+    # concatenated into the K/V source — one joint softmax). pytree_node
+    # False: it selects the traced graph.
+    ref_mode: str = flax.struct.field(pytree_node=False, default="parallel")
+    # {layer_name: (k_ref, v_ref)} on CROSS-attention layers
+    # (RefCAttnProcessor2_0, attention_processor.py:630-743 — unused by the
+    # shipped scripts but part of the adapter API surface).
+    ref_cross_kv: Optional[Dict[str, Tuple[jnp.ndarray, jnp.ndarray]]] = None
 
 
 def none_conditioning() -> Conditioning:

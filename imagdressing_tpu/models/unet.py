@@ -278,10 +278,19 @@ def _self_attention(
     v = nn.linear(p["to_v"], x)
     if cond.ref_kv is not None and layer_name in cond.ref_kv:
         k_ref, v_ref = cond.ref_kv[layer_name]
-        out = attn_ops.dual_kv_attention(
-            q, k, v, k_ref.astype(q.dtype), v_ref.astype(q.dtype),
-            cond.ref_scale, num_heads,
-        )
+        if cond.ref_mode == "concat":
+            # SAttnProcessor2_0 variant: garment K/V joins the source under
+            # ONE softmax (attention_processor.py:155-161). NB in that
+            # scheme the cached hidden is projected by the frozen to_k/to_v,
+            # so callers precompute ref_kv with the base projections.
+            k = jnp.concatenate([k, k_ref.astype(q.dtype)], axis=1)
+            v = jnp.concatenate([v, v_ref.astype(q.dtype)], axis=1)
+            out = attn_ops.attention(q, k, v, num_heads)
+        else:
+            out = attn_ops.dual_kv_attention(
+                q, k, v, k_ref.astype(q.dtype), v_ref.astype(q.dtype),
+                cond.ref_scale, num_heads,
+            )
     else:
         out = attn_ops.attention(q, k, v, num_heads)
     return nn.linear(p["to_out"], out)
@@ -304,6 +313,17 @@ def _cross_attention(
         k = nn.linear(p["to_k"], context)
         v = nn.linear(p["to_v"], context)
     out = attn_ops.attention(q, k, v, num_heads)
+    if cond.ref_cross_kv is not None and layer_name in cond.ref_cross_kv:
+        # RefCAttnProcessor2_0: a parallel garment-attention branch on the
+        # cross-attention layers, added with ref_scale.
+        k_ref, v_ref = cond.ref_cross_kv[layer_name]
+        ref_out = attn_ops.attention(
+            q, k_ref.astype(q.dtype), v_ref.astype(q.dtype), num_heads
+        )
+        scale = jnp.asarray(cond.ref_scale, jnp.float32)
+        scale = scale.reshape(-1, 1, 1) if scale.ndim > 0 else scale
+        out = (out.astype(jnp.float32) + scale * ref_out.astype(jnp.float32)
+               ).astype(out.dtype)
     if cond.ip_kv is not None and layer_name in cond.ip_kv:
         # IP-Adapter branch (reference IPAttnProcessor2_0, attention_processor
         # .py:968-988): separate attention over the 4 face tokens, added with

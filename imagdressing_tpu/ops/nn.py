@@ -98,17 +98,39 @@ def conv2d(
 
 def group_norm(p: Params, x: jnp.ndarray, *, num_groups: int = 32,
                eps: float = 1e-5) -> jnp.ndarray:
-    """GroupNorm over the channel-last axis of (B, ..., C). Stats in fp32."""
+    """GroupNorm over the channel-last axis of (B, ..., C). Stats in fp32.
+
+    TPU note: the big tensor is only ever reduced over the SPATIAL axes
+    (channel stays in the 128-lane dimension); the group aggregation happens
+    on the tiny (B, C) moment vectors. Reshaping the activation itself to
+    (B, -1, G, C/G) would put C/G=10 lanes on the VPU and force relayouts.
+    """
     orig_dtype = x.dtype
     b = x.shape[0]
     c = x.shape[-1]
     g = num_groups
-    xf = x.astype(jnp.float32).reshape(b, -1, g, c // g)
-    mean = jnp.mean(xf, axis=(1, 3), keepdims=True)
-    var = jnp.var(xf, axis=(1, 3), keepdims=True)
-    xf = (xf - mean) * jax.lax.rsqrt(var + eps)
-    xf = xf.reshape(x.shape)
-    out = xf * p["scale"].astype(jnp.float32) + p["bias"].astype(jnp.float32)
+    xf = x.astype(jnp.float32)
+    spatial = tuple(range(1, x.ndim - 1))
+    n_per_ch = 1
+    for d in spatial:
+        n_per_ch *= x.shape[d]
+    s1 = jnp.sum(xf, axis=spatial)  # (B, C)
+    s2 = jnp.sum(xf * xf, axis=spatial)  # (B, C)
+    gs1 = jnp.sum(s1.reshape(b, g, c // g), axis=-1)  # (B, G)
+    gs2 = jnp.sum(s2.reshape(b, g, c // g), axis=-1)
+    n = n_per_ch * (c // g)
+    mean = gs1 / n
+    var = gs2 / n - mean * mean
+    inv = jax.lax.rsqrt(var + eps)  # (B, G)
+    # per-channel scale/shift folded with the affine params
+    mean_c = jnp.repeat(mean, c // g, axis=-1)  # (B, C)
+    inv_c = jnp.repeat(inv, c // g, axis=-1)
+    w = p["scale"].astype(jnp.float32)
+    bch = p["bias"].astype(jnp.float32)
+    scale = inv_c * w  # (B, C)
+    shift = bch - mean_c * scale
+    shape = (b,) + (1,) * (x.ndim - 2) + (c,)
+    out = xf * scale.reshape(shape) + shift.reshape(shape)
     return out.astype(orig_dtype)
 
 

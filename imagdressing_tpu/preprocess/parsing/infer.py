@@ -107,14 +107,36 @@ class Parsing:
         return cls(atr, lip)
 
     @classmethod
+    def from_onnx(cls, atr_path: str, lip_path: str) -> "Parsing":
+        """Load the reference's shipped ONNX graphs
+        (ckpt/humanparsing/parsing_atr.onnx / parsing_lip.onnx) by extracting
+        their initializers directly — no onnxruntime needed
+        (convert/onnx_reader.py). torch.onnx keeps state-dict names for
+        initializers, so the torch converter applies unchanged."""
+        from imagdressing_tpu.convert.onnx_reader import read_onnx_initializers
+
+        return cls(
+            schp.convert_torch(read_onnx_initializers(atr_path),
+                               schp.NUM_CLASSES_ATR),
+            schp.convert_torch(read_onnx_initializers(lip_path),
+                               schp.NUM_CLASSES_LIP),
+        )
+
+    @classmethod
     def get_default(cls) -> "Parsing":
         if cls._default is None:
             import os
 
-            cls._default = cls.from_torch(
-                os.environ.get("IMAGDRESSING_ATR_CKPT", "ckpt/humanparsing/atr.pth"),
-                os.environ.get("IMAGDRESSING_LIP_CKPT", "ckpt/humanparsing/lip.pth"),
+            atr = os.environ.get(
+                "IMAGDRESSING_ATR_CKPT", "ckpt/humanparsing/parsing_atr.onnx"
             )
+            lip = os.environ.get(
+                "IMAGDRESSING_LIP_CKPT", "ckpt/humanparsing/parsing_lip.onnx"
+            )
+            if atr.endswith(".onnx"):
+                cls._default = cls.from_onnx(atr, lip)
+            else:
+                cls._default = cls.from_torch(atr, lip)
         return cls._default
 
     def _run(self, image_rgb: np.ndarray, params, num_classes: int,

@@ -26,6 +26,13 @@ _CPUS = jax.devices("cpu")
 jax.config.update("jax_default_device", _CPUS[0])
 jax.config.update("jax_threefry_partitionable", True)
 
+# Persistent compilation cache: the suite compiles ~30 sizeable CPU programs
+# (tiny-UNet pipelines, sharded train steps); cached reruns cut minutes.
+_CACHE = os.path.join(os.path.dirname(__file__), os.pardir, ".xla_cache_cpu")
+os.makedirs(_CACHE, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", os.path.abspath(_CACHE))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 import pytest  # noqa: E402
 
 
