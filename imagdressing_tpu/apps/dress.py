@@ -45,6 +45,11 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--image_scale", type=float, default=None)
     p.add_argument("--lora_scale", type=float, default=0.2)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--batch_size", type=int, default=1,
+                   help="garments per device batch in --cloth_dir mode (the "
+                        "reference's *_folder.py scripts loop serially)")
+    p.add_argument("--sampler", default=None,
+                   choices=[None, "ddim", "unipc", "dpm2m"])
     return p
 
 
@@ -60,6 +65,10 @@ def main(argv=None):
     from imagdressing_tpu.pipelines.dressing import DressingPipeline
 
     preset = PRESETS[args.preset]
+    if args.sampler:
+        import dataclasses
+
+        preset = dataclasses.replace(preset, sampler=args.sampler)
     models = load_dressing_models(
         base_dir=args.base_dir,
         vae_path=args.vae_path,
@@ -112,32 +121,39 @@ def main(argv=None):
         masked[extra["mask_image"][..., 0] > 0.5] = -1.0
         extra["pose_image"] = (masked + 1.0) / 2.0  # inpaint controlnet cond
 
-    for cloth_path in cloths:
-        ref_image, ref_clip, cloth_pil = iu.prepare_garment(
-            cloth_path, preset.height, preset.width
-        )
+    bs = max(1, args.batch_size)
+    for start in range(0, len(cloths), bs):
+        chunk = cloths[start : start + bs]
+        prepped = [
+            iu.prepare_garment(cp, preset.height, preset.width) for cp in chunk
+        ]
+        b = len(chunk)
+        batched_extra = {
+            k: (np.repeat(v, b, axis=0) if v is not None and b > 1 else v)
+            for k, v in extra.items()
+        }
         out = pipe(
-            prompt_ids=tokenizer(prompt)[None],
-            negative_prompt_ids=tokenizer(negative)[None],
-            ref_image=ref_image,
-            ref_clip_image=ref_clip,
+            prompt_ids=np.repeat(tokenizer(prompt)[None], b, axis=0),
+            negative_prompt_ids=np.repeat(tokenizer(negative)[None], b, axis=0),
+            ref_image=np.concatenate([p[0] for p in prepped]),
+            ref_clip_image=np.concatenate([p[1] for p in prepped]),
             seed=args.seed,
             num_inference_steps=args.num_inference_steps,
             guidance_scale=args.guidance_scale,
             image_scale=args.image_scale,
-            **extra,
+            **batched_extra,
         )
-        imgs = iu.to_pil(out)
-        collage = iu.image_grid(
-            [cloth_pil.resize((preset.width, preset.height), Image.BICUBIC)]
-            + imgs,
-            1,
-            1 + len(imgs),
-        )
-        collage.save(
-            os.path.join(args.output_path, os.path.basename(cloth_path))
-        )
-        print("saved", os.path.basename(cloth_path))
+        for i, cloth_path in enumerate(chunk):
+            img = iu.to_pil(out[i : i + 1])
+            collage = iu.image_grid(
+                [prepped[i][2].resize((preset.width, preset.height),
+                                      Image.BICUBIC)] + img,
+                1, 2,
+            )
+            collage.save(
+                os.path.join(args.output_path, os.path.basename(cloth_path))
+            )
+            print("saved", os.path.basename(cloth_path))
 
 
 if __name__ == "__main__":

@@ -53,7 +53,7 @@ def load_dressing_models(
     base_dir: str,
     vae_path: str,
     image_encoder_path: str,
-    model_ckpt: str,
+    model_ckpt: Optional[str] = None,
     controlnet_path: Optional[str] = None,
     ip_ckpt: Optional[str] = None,
     lora_scale: float = 0.0,
@@ -69,16 +69,38 @@ def load_dressing_models(
     )
     vae_sd = cv.load_torch_file(_find_weights(vae_path))
     vision_sd = cv.load_torch_file(_find_weights(image_encoder_path))
-    module_sd = cv.load_torch_file(model_ckpt)["module"]
 
     unet_params = cv.convert_unet(unet_sd, unet_cfg)
-    split = cv.convert_imagdressing_checkpoint(module_sd, unet_cfg, resampler_cfg)
+    if model_ckpt:
+        module_sd = cv.load_torch_file(model_ckpt)["module"]
+        split = cv.convert_imagdressing_checkpoint(
+            module_sd, unet_cfg, resampler_cfg
+        )
+        ref_unet = split["ref_unet"]
+        ref_adapters = split["ref_adapters"]
+        resampler_params = split["resampler"]
+    else:
+        # training-from-scratch init: garment UNet = a copy of the base,
+        # adapters from the base to_k/to_v (reference train.py:339-359,367),
+        # Resampler randomly initialized (train.py:325-336)
+        import jax as _jax
+
+        ref_unet = _jax.tree.map(jnp.array, unet_params)
+        from imagdressing_tpu.models import resampler as resampler_lib
+        from imagdressing_tpu.models import unet as unet_lib
+
+        ref_adapters = unet_lib.init_ref_adapters_from_unet(
+            unet_params, unet_cfg
+        )
+        resampler_params = resampler_lib.init(
+            _jax.random.PRNGKey(0), resampler_cfg
+        )
 
     params = {
         "unet": unet_params,
-        "ref_unet": split["ref_unet"],
-        "ref_adapters": split["ref_adapters"],
-        "resampler": split["resampler"],
+        "ref_unet": ref_unet,
+        "ref_adapters": ref_adapters,
+        "resampler": resampler_params,
         "vae": cv.convert_vae(vae_sd, vae_cfg),
         "text": cv.convert_clip_text(text_sd, text_cfg),
         "vision": cv.convert_clip_vision(vision_sd, vision_cfg),

@@ -124,6 +124,13 @@ def main(argv=None):
     batch_sharding = NamedSharding(mesh, P(mesh_lib.DATA_AXIS))
     rng = jax.device_put(jax.random.PRNGKey(cfg.seed), NamedSharding(mesh, P()))
 
+    # metrics sink (replaces the reference's tensorboard/wandb trackers,
+    # train.py:484-485 — a dependency-free jsonl any dashboard can tail)
+    metrics_path = os.path.join(args.output_dir, "metrics.jsonl")
+    os.makedirs(args.output_dir, exist_ok=True)
+    metrics_file = open(metrics_path, "a", buffering=1)
+    import json as _json
+
     start = int(jax.device_get(state.step))
     t_data = t_step = 0.0
     t0 = time.perf_counter()
@@ -141,6 +148,14 @@ def main(argv=None):
                 step + 1, metrics["loss"], metrics["grad_norm"],
                 (t2 - t1), (t1 - t0),
             )
+            metrics_file.write(_json.dumps({
+                "step": step + 1,
+                "loss": float(metrics["loss"]),
+                "grad_norm": float(metrics["grad_norm"]),
+                "step_time_s": t2 - t1,
+                "data_time_s": t1 - t0,
+                "images_per_sec": global_batch / max(t2 - t1, 1e-9),
+            }) + "\n")
             t0 = t2
         else:
             t0 = time.perf_counter()

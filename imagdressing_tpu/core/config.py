@@ -202,8 +202,9 @@ class PipelineConfig:
     use_inpaint: bool = False
     strength: float = 1.0  # inpaint strength
     seed: int = 42
-    # "ddim" (reference behavior) or "dpm2m" (DPM-Solver++(2M): comparable
-    # quality at ~half the steps). Inpaint always runs DDIM (per-step mask
+    # "ddim" (reference repo behavior), "unipc" (the paper's sampler), or
+    # "dpm2m" (DPM-Solver++(2M)) — the multistep solvers reach comparable
+    # quality at ~half the steps. Inpaint always runs DDIM (per-step mask
     # recomposition).
     sampler: str = "ddim"
 

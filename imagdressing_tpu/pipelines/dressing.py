@@ -369,10 +369,11 @@ def _generate(
         return eps_uncond + guidance * (eps_text - eps_uncond)
 
     # ---- 7. the scan --------------------------------------------------------
-    if preset.sampler == "dpm2m" and not preset.use_inpaint:
-        from imagdressing_tpu.samplers import dpm
+    if preset.sampler in ("dpm2m", "unipc") and not preset.use_inpaint:
+        from imagdressing_tpu.samplers import dpm, unipc
 
-        latents = dpm.sample_loop(
+        loop = unipc.sample_loop if preset.sampler == "unipc" else dpm.sample_loop
+        latents = loop(
             schedule, eps_fn, latents.astype(jnp.float32), num_inference_steps
         )
         images = vae_lib.decode(

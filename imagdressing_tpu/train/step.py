@@ -77,6 +77,10 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
             weight_decay=cfg.weight_decay,
         ),
     )
+    # Non-finite-gradient guard: skip the update instead of poisoning the
+    # params (the reference relies on DeepSpeed fp16 loss-scale skips; bf16
+    # needs no loss scaling but still deserves a NaN fuse).
+    tx = optax.apply_if_finite(tx, max_consecutive_errors=100)
     if cfg.gradient_accumulation_steps > 1:
         tx = optax.MultiSteps(tx, cfg.gradient_accumulation_steps)
     return tx

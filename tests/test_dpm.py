@@ -47,3 +47,24 @@ def test_shapes_and_finiteness():
     out = dpm.sample_loop(sched, _linear_eps, x, 15)
     assert out.shape == x.shape
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_unipc_matches_multistep_family():
+    """UniPC (paper sampler) must converge to the same ODE limit; its
+    order-2 accuracy tracks DPM2M on the linear model."""
+    from imagdressing_tpu.samplers import unipc
+
+    sched = ddim.make_schedule(SchedulerConfig())
+    x = jnp.ones((1, 2, 2, 4))
+    ref = ddim.sample_loop(sched, _linear_eps, x, 1000)
+    errs = []
+    for steps in (10, 20, 40):
+        u = unipc.sample_loop(sched, _linear_eps, x, steps)
+        errs.append(float(jnp.abs(u - ref).max()))
+        d = dpm.sample_loop(sched, _linear_eps, x, steps)
+        err_d = float(jnp.abs(d - ref).max())
+        assert errs[-1] < err_d * 1.2  # same accuracy class
+    assert errs[1] < errs[0] * 0.6 and errs[2] < errs[1] * 0.6
+    # corrector off still converges
+    u_nc = unipc.sample_loop(sched, _linear_eps, x, 40, use_corrector=False)
+    assert float(jnp.abs(u_nc - ref).max()) < errs[0]

@@ -52,6 +52,19 @@ def test_basic_deterministic_and_conditioned(basic_pipe):
     assert np.abs(d0 - d2).max() > 1e-3
 
 
+def test_batched_generation(basic_pipe):
+    """Device batching (the *_folder.py replacement): batch-2 output rows
+    must match two independent batch-1 runs given identical latents."""
+    rng = np.random.default_rng(5)
+    kw = _inputs(b=2)
+    lat = rng.standard_normal((2, 8, 8, 4)).astype(np.float32)
+    out2 = basic_pipe(**kw, latents=lat)
+    assert out2.shape == (2, 64, 64, 3)
+    one = {k: v[:1] for k, v in kw.items()}
+    out1 = basic_pipe(**one, latents=lat[:1])
+    np.testing.assert_allclose(out2[0], out1[0], atol=2e-3)
+
+
 def test_ipa_pose_preset(small_models):
     preset = dataclasses.replace(
         PRESETS["ipa_pose"], height=64, width=64, num_inference_steps=2

@@ -51,7 +51,9 @@ def test_step_runs_and_loss_finite(setup):
     loss = float(metrics["loss"])
     assert np.isfinite(loss) and loss > 0
     assert int(new_state.step) == 1
-    # params actually changed
+    # warmup starts at lr=0 (constant-with-warmup, reference run.sh) so the
+    # FIRST update is a no-op; the second must move the params
+    new_state, _ = jitted(new_state, frozen, batch, jax.random.PRNGKey(1))
     delta = jax.tree.reduce(
         lambda a, b: a + b,
         jax.tree.map(
@@ -106,6 +108,7 @@ def test_zero2_sharding_specs(cpu_devices):
         "c": jnp.zeros(()),  # scalar -> replicated
     }
     specs = mesh_lib.zero2_param_sharding(mesh, tree)
-    assert specs["a"].spec == jax.sharding.PartitionSpec("data")
-    assert specs["b"].spec == jax.sharding.PartitionSpec()
-    assert specs["c"].spec == jax.sharding.PartitionSpec()
+    assert tuple(specs["a"].spec) in ((("data",)), ("data", None))
+    assert specs["a"].spec[0] == "data"
+    assert all(s is None for s in specs["b"].spec)
+    assert all(s is None for s in specs["c"].spec)
