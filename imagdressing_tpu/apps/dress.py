@@ -117,9 +117,15 @@ def main(argv=None):
         extra["mask_image"] = person_upper_body_mask(
             args.model_path, preset.height, preset.width
         )
-        masked = extra["person_image"].copy()
-        masked[extra["mask_image"][..., 0] > 0.5] = -1.0
-        extra["pose_image"] = (masked + 1.0) / 2.0  # inpaint controlnet cond
+        # inpaint-ControlNet conditioning: person in [0,1] with masked
+        # pixels = -1 (reference make_inpaint_condition,
+        # inference_IMAGdressing_controlnetinpainting.py:48-59)
+        from imagdressing_tpu.preprocess.mask import make_inpaint_condition
+
+        person01 = (extra["person_image"][0] + 1.0) / 2.0
+        extra["pose_image"] = make_inpaint_condition(
+            person01, extra["mask_image"][0, ..., 0]
+        )
 
     bs = max(1, args.batch_size)
     for start in range(0, len(cloths), bs):

@@ -216,7 +216,7 @@ def flash_attention(
     v_ref: Optional[jnp.ndarray] = None,
     ref_scale: Optional[jnp.ndarray] = None,  # scalar or (B,)
     *,
-    block_q: int = 1024,
+    block_q: int = 2048,
     block_k: int = 1024,
 ) -> jnp.ndarray:
     """Flash attention over one or two KV sources.

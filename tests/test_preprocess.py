@@ -108,6 +108,37 @@ def test_openpose_assembly_synthetic():
     assert candidate.shape[1] == 4
 
 
+def test_parsing_host_pipeline_with_stub_cnn(monkeypatch):
+    """Exercise the full Parsing host path (affine warp, inverse transform,
+    hole filling, neck merge) with a stubbed CNN — the real SCHP forward is
+    covered by test_schp_forward_shapes without the 512^2 compile cost."""
+    import imagdressing_tpu.preprocess.parsing.infer as pinf
+
+    def fake_forward(params, image, num_classes, size):
+        rng = np.random.default_rng(num_classes)
+        logits = rng.standard_normal((1, size, size, num_classes)) * 0.1
+        # strong upper-cloth region + head region + arm stripe (ATR ids)
+        if num_classes == 18:
+            logits[:, size // 4 : size // 2, size // 4 : 3 * size // 4, 4] = 5.0
+            logits[:, : size // 8, size // 3 : 2 * size // 3, 11] = 5.0
+            logits[:, size // 4 : size // 2, size // 5 : size // 4, 14] = 5.0
+        else:  # LIP: no face label anywhere -> ATR 11 becomes neck 18
+            logits[:, :, :, 0] = 1.0
+        return jnp.asarray(logits)
+
+    monkeypatch.setattr(pinf, "_forward", fake_forward)
+    p = pinf.Parsing(atr_params=None, lip_params=None)
+    img = np.random.default_rng(0).integers(0, 255, (200, 150, 3),
+                                            dtype=np.uint8)
+    parse, face = p(img)
+    assert parse.shape == (200, 150) and parse.dtype == np.uint8
+    labels = set(np.unique(parse))
+    assert 4 in labels  # upper cloth survived the warp round-trip
+    assert 18 in labels  # neck synthesized from ATR-head & no-LIP-face
+    assert 11 not in labels  # all head pixels became neck (no LIP face)
+    assert face.shape == (200, 150)
+
+
 def test_schp_forward_shapes():
     params = schp.init(jax.random.PRNGKey(0), num_classes=18)
     fusion, edge = schp.apply(params, jnp.zeros((1, 64, 64, 3)), 18)
