@@ -189,7 +189,10 @@ def make_handler(worker: InferenceWorker, preset):
                 )[None]
                 from imagdressing_tpu.train.data import clip_preprocess_np
 
-                clip_view = clip_preprocess_np(np.asarray(cloth))[None]
+                vision_size = worker.pipe.models.vision_cfg.image_size
+                clip_view = clip_preprocess_np(
+                    np.asarray(cloth), size=vision_size
+                )[None]
                 payload["ref_image"] = ref
                 payload["ref_clip_image"] = clip_view
                 payload.setdefault("prompt", iu.DEFAULT_PROMPT)

@@ -1,0 +1,83 @@
+"""HTTP serving end-to-end: spin the real server with a tiny pipeline and
+POST through the wire (the reference's app.py surface, minus gradio)."""
+
+import base64
+import dataclasses
+import io
+import json
+import threading
+import urllib.request
+from http.server import ThreadingHTTPServer
+
+import jax
+import numpy as np
+import pytest
+
+from imagdressing_tpu.apps.serve import InferenceWorker, make_handler
+from imagdressing_tpu.apps.tokenizer import HashTokenizer
+from imagdressing_tpu.core.config import PRESETS
+from imagdressing_tpu.pipelines.dressing import DressingModels, DressingPipeline
+
+
+@pytest.fixture(scope="module")
+def server():
+    models = DressingModels.init_random(jax.random.PRNGKey(0), small=True)
+    preset = dataclasses.replace(
+        PRESETS["basic"], height=64, width=64, num_inference_steps=2
+    )
+    pipe = DressingPipeline(models, preset)
+    worker = InferenceWorker(pipe, HashTokenizer(), max_batch=2)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(worker, preset))
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield port
+    httpd.shutdown()
+
+
+def _png_bytes():
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    img = Image.fromarray(rng.integers(0, 255, (96, 72, 3), dtype=np.uint8))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    return buf.getvalue()
+
+
+def test_dress_endpoint(server):
+    payload = {
+        "prompt": "a beautiful dress",
+        "steps": 2,
+        "seed": 1,
+        "cloth_image": base64.b64encode(_png_bytes()).decode(),
+    }
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server}/dress",
+        data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=300) as resp:
+        body = json.loads(resp.read())
+    assert "image" in body and body["latency_s"] > 0
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(base64.b64decode(body["image"])))
+    assert img.size == (64, 64)
+
+
+def test_index_form(server):
+    with urllib.request.urlopen(f"http://127.0.0.1:{server}/", timeout=30) as r:
+        html = r.read().decode()
+    assert "IMAGDressing-TPU" in html
+
+
+def test_bad_request_is_4xx(server):
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{server}/dress",
+        data=b"not json",
+        headers={"Content-Type": "application/json"},
+    )
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=30)
+    assert e.value.code == 400
