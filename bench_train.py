@@ -1,0 +1,104 @@
+"""Training-step benchmark (single chip; informational, not driver-run).
+
+Reference training setup (BASELINE.md): 200k steps, batch 5/GPU on 10x
+RTX 3090 (global 50), 512x640, fp16 ZeRO-2. This measures our jitted train
+step (VAE encode x2 + CLIP text/vision + garment capture + UNet + backward +
+AdamW) at the same per-device resolution in bf16.
+
+Prints one JSON line: {"metric": "train_step_512x640", "value": seconds,
+"unit": "s/step", "images_per_sec_per_chip": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def main(batch_size: int = 1, steps: int = 5):
+    import jax
+    import jax.numpy as jnp
+
+    cache = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".xla_cache")
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from imagdressing_tpu.core.config import TrainConfig
+    from imagdressing_tpu.pipelines.dressing import DressingModels
+    from imagdressing_tpu.train.step import init_train_state, make_train_step
+
+    import gc
+
+    # Build on host, place carefully: frozen stacks in bf16, trainable
+    # (garment UNet + adapters + resampler) fp32, AdamW moments fp32.
+    with jax.default_device(jax.devices("cpu")[0]):
+        models = DressingModels.init_random(jax.random.PRNGKey(0))
+    cfg = TrainConfig(train_batch_size=batch_size, warmup_steps=10)
+    from imagdressing_tpu.train.step import split_params
+
+    trainable_host, frozen_host = split_params(models.params)
+    dev = jax.devices()[0]
+    def to_bf16(tree):
+        return jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16)
+            if jnp.issubdtype(a.dtype, jnp.floating) else a,
+            tree,
+        )
+
+    frozen = jax.device_put(to_bf16(frozen_host), dev)
+    # Single-chip bench runs pure-bf16 trainables: fp32 masters + AdamW
+    # state for the ~1B trainable params exceed one v5e's 16 GB — the
+    # multi-chip path shards them (ZeRO-2, train.shard_train_step).
+    trainable = jax.device_put(to_bf16(trainable_host), dev)
+    models.params.clear()
+    del trainable_host, frozen_host
+    gc.collect()
+
+    from imagdressing_tpu.train.step import TrainState, make_optimizer
+
+    tx = make_optimizer(cfg)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32), params=trainable,
+        opt_state=tx.init(trainable),
+    )
+    step_fn = jax.jit(make_train_step(models, cfg, tx), donate_argnums=(0,))
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "person_image": jnp.asarray(
+            rng.standard_normal((batch_size, 640, 512, 3)).astype(np.float32)
+            .clip(-1, 1)),
+        "cloth_image": jnp.asarray(
+            rng.standard_normal((batch_size, 640, 512, 3)).astype(np.float32)
+            .clip(-1, 1)),
+        "cloth_clip": jnp.asarray(
+            rng.standard_normal((batch_size, 224, 224, 3)).astype(np.float32)),
+        "text_ids": jnp.asarray(rng.integers(0, 49407, (batch_size, 77)),
+                                jnp.int32),
+    }
+    key = jax.random.PRNGKey(0)
+
+    state, metrics = step_fn(state, frozen, batch, key)  # compile
+    jax.block_until_ready(metrics["loss"])
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, metrics = step_fn(state, frozen, batch, key)
+    jax.block_until_ready(metrics["loss"])
+    dt = (time.perf_counter() - t0) / steps
+    print(json.dumps({
+        "metric": "train_step_512x640",
+        "value": round(dt, 4),
+        "unit": "s/step",
+        "batch_per_chip": batch_size,
+        "images_per_sec_per_chip": round(batch_size / dt, 3),
+        "loss": float(metrics["loss"]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -208,6 +208,113 @@ def _flash_call(
     )(ref_scale, q, k, v)
 
 
+# ---------------------------------------------------------------------------
+# Differentiation: the Pallas kernel runs the forward; the backward is a
+# blockwise XLA implementation of the standard flash-attention gradients
+# (recomputes per-block logits from q/k — never materializes the full SxS
+# matrix, peak memory is one (block_q x Skv) slab per head-batch):
+#
+#   D_i  = rowsum(dO_i * O_i)
+#   P_ij = exp(q_i.k_j * sm - LSE_i)
+#   dV_j = sum_i P_ij dO_i          dP_ij = dO_i . v_j
+#   dS   = P * (dP - D)             dQ_i = sm * dS K,   dK_j = sm * dS^T Q
+#
+# Dual source: O = O1 + s*O2 with independent softmaxes, so each source gets
+# the same rules with dO2 = s*dO (and the uncond rows' s=0 kills that path).
+# ---------------------------------------------------------------------------
+
+_BWD_BLOCK_Q = 512
+
+
+def _bwd_one_source(q, k, v, do, sm_scale):
+    """q (BH,Sq,D), k/v (BH,Skv,D), do (BH,Sq,D) -> (dq, dk, dv). fp32."""
+    bh, sq, d = q.shape
+    bq = min(_BWD_BLOCK_Q, sq)
+    while sq % bq:
+        bq //= 2
+    nblk = sq // bq
+    qf = q.astype(jnp.float32)
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+    dof = do.astype(jnp.float32)
+
+    def body(carry, blk):
+        dk_acc, dv_acc = carry
+        q_blk, do_blk = blk  # (BH, bq, D)
+        s = jnp.einsum("bqd,bkd->bqk", q_blk, kf,
+                       preferred_element_type=jnp.float32) * sm_scale
+        lse = jax.nn.logsumexp(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - lse)
+        o_blk = jnp.einsum("bqk,bkd->bqd", p, vf)
+        dvec = jnp.sum(do_blk * o_blk, axis=-1, keepdims=True)
+        dp = jnp.einsum("bqd,bkd->bqk", do_blk, vf)
+        ds = p * (dp - dvec)
+        dq_blk = sm_scale * jnp.einsum("bqk,bkd->bqd", ds, kf)
+        dk_acc = dk_acc + sm_scale * jnp.einsum("bqk,bqd->bkd", ds, q_blk)
+        dv_acc = dv_acc + jnp.einsum("bqk,bqd->bkd", p, do_blk)
+        return (dk_acc, dv_acc), dq_blk
+
+    q_blocks = qf.reshape(bh, nblk, bq, d).transpose(1, 0, 2, 3)
+    do_blocks = dof.reshape(bh, nblk, bq, d).transpose(1, 0, 2, 3)
+    init = (jnp.zeros_like(kf), jnp.zeros_like(vf))
+    (dk, dv), dq_blocks = jax.lax.scan(body, init, (q_blocks, do_blocks))
+    dq = dq_blocks.transpose(1, 0, 2, 3).reshape(bh, sq, d)
+    return dq, dk, dv
+
+
+def _fold4(x, b, h):  # (B,S,H,D) -> (BH,S,D)
+    return jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, x.shape[1], x.shape[3])
+
+
+def _unfold4(x, b, h):  # (BH,S,D) -> (B,S,H,D)
+    return jnp.transpose(x.reshape(b, h, x.shape[1], x.shape[2]), (0, 2, 1, 3))
+
+
+@jax.custom_vjp
+def _fa_diff(q, k, v, k_ref, v_ref, scale_vec):
+    """Differentiable entry (dual when k_ref is not None via the wrapper)."""
+    return _fa_fwd_impl(q, k, v, k_ref, v_ref, scale_vec)
+
+
+def _fa_fwd_impl(q, k, v, k_ref, v_ref, scale_vec):
+    return _flash_forward_pallas(q, k, v, k_ref, v_ref, scale_vec)
+
+
+def _fa_fwd(q, k, v, k_ref, v_ref, scale_vec):
+    out = _fa_fwd_impl(q, k, v, k_ref, v_ref, scale_vec)
+    return out, (q, k, v, k_ref, v_ref, scale_vec)
+
+
+def _fa_bwd(res, g):
+    q, k, v, k_ref, v_ref, scale_vec = res
+    b, sq, h, d = q.shape
+    sm = 1.0 / (d**0.5)
+    qf, kf, vf = _fold4(q, b, h), _fold4(k, b, h), _fold4(v, b, h)
+    gf = _fold4(g, b, h)
+    dq, dk, dv = _bwd_one_source(qf, kf, vf, gf, sm)
+    if k_ref is not None:
+        krf, vrf = _fold4(k_ref, b, h), _fold4(v_ref, b, h)
+        s_bh = jnp.repeat(scale_vec.astype(jnp.float32), h)[:, None, None]
+        dq2, dkr, dvr = _bwd_one_source(qf, krf, vrf, s_bh * gf, sm)
+        dq = dq + dq2
+        dkr4 = _unfold4(dkr, b, h).astype(k_ref.dtype)
+        dvr4 = _unfold4(dvr, b, h).astype(v_ref.dtype)
+    else:
+        dkr4 = None
+        dvr4 = None
+    return (
+        _unfold4(dq, b, h).astype(q.dtype),
+        _unfold4(dk, b, h).astype(k.dtype),
+        _unfold4(dv, b, h).astype(v.dtype),
+        dkr4,
+        dvr4,
+        jnp.zeros_like(scale_vec),
+    )
+
+
+_fa_diff.defvjp(_fa_fwd, _fa_bwd)
+
+
 def flash_attention(
     q: jnp.ndarray,  # (B, Sq, H, D)
     k: jnp.ndarray,  # (B, Skv, H, D)
@@ -215,6 +322,31 @@ def flash_attention(
     k_ref: Optional[jnp.ndarray] = None,  # (B, Skv, H, D) second source
     v_ref: Optional[jnp.ndarray] = None,
     ref_scale: Optional[jnp.ndarray] = None,  # scalar or (B,)
+    *,
+    block_q: int = 2048,
+    block_k: int = 1024,
+) -> jnp.ndarray:
+    """Flash attention over one or two KV sources (differentiable).
+
+    Returns SDPA(q,k,v) [+ ref_scale * SDPA(q,k_ref,v_ref)], shape (B,Sq,H,D).
+    """
+    b = q.shape[0]
+    if ref_scale is None:
+        scale_vec = jnp.ones((b,), jnp.float32)
+    else:
+        scale_vec = jnp.broadcast_to(
+            jnp.asarray(ref_scale, jnp.float32).reshape(-1), (b,)
+        )
+    return _fa_diff(q, k, v, k_ref, v_ref, scale_vec)
+
+
+def _flash_forward_pallas(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    k_ref: Optional[jnp.ndarray],
+    v_ref: Optional[jnp.ndarray],
+    scale_vec: jnp.ndarray,
     *,
     block_q: int = 2048,
     block_k: int = 1024,
@@ -240,13 +372,6 @@ def flash_attention(
         vf = jnp.concatenate([fold(v), fold(v_ref)], axis=1)
     else:
         kf, vf = fold(k), fold(v)
-
-    if ref_scale is None:
-        scale_vec = jnp.ones((b,), jnp.float32)
-    else:
-        scale_vec = jnp.broadcast_to(
-            jnp.asarray(ref_scale, jnp.float32).reshape(-1), (b,)
-        )
 
     bq = _pick_block(sq, block_q)
     bk = _pick_block(skv, block_k)

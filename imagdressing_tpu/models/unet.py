@@ -389,6 +389,7 @@ def apply(
     capture: bool = False,
     down_only: bool = False,
     conv_in_extra: Optional[jnp.ndarray] = None,
+    remat: bool = False,
 ):
     """Run the UNet. Returns eps prediction (B,H,W,C_out); with capture=True
     returns (eps, {attn1_layer_name: hidden}); with down_only=True returns
@@ -407,6 +408,25 @@ def apply(
     captured: Optional[Dict[str, jnp.ndarray]] = {} if capture else None
     context = encoder_hidden_states.astype(sample.dtype)
 
+    # Block-level rematerialization for training: residual/transformer block
+    # activations are recomputed in the backward pass instead of living
+    # across the whole forward (jax.checkpoint — the HBM-for-FLOPs trade,
+    # needed to fit batched 512x640 training on one chip). Capture mode is
+    # incompatible (the captured dict is a side output).
+    if remat and not capture:
+        resnet_fn = jax.checkpoint(_resnet, static_argnums=(3,))
+        transformer_fn = jax.checkpoint(
+            lambda p, x, ctx, c, name, cnd: _transformer2d(
+                p, x, ctx, c, name, cnd, None
+            ),
+            static_argnums=(3, 4),
+        )
+    else:
+        resnet_fn = _resnet
+        transformer_fn = lambda p, x, ctx, c, name, cnd: _transformer2d(  # noqa: E731
+            p, x, ctx, c, name, cnd, captured
+        )
+
     h = nn.conv2d(params["conv_in"], sample, padding=1)
     if conv_in_extra is not None:
         # ControlNet conditioning embedding joins the trunk here.
@@ -416,11 +436,11 @@ def apply(
     for i, block in enumerate(params["down_blocks"]):
         has_attn = cfg.down_block_has_attn[i]
         for j, rp in enumerate(block["resnets"]):
-            h = _resnet(rp, h, temb, cfg)
+            h = resnet_fn(rp, h, temb, cfg)
             if has_attn:
-                h = _transformer2d(
+                h = transformer_fn(
                     block["attentions"][j], h, context, cfg,
-                    f"down_blocks.{i}.attentions.{j}", cond, captured,
+                    f"down_blocks.{i}.attentions.{j}", cond,
                 )
             skips.append(h)
         if "downsamplers" in block:
@@ -428,12 +448,11 @@ def apply(
             skips.append(h)
 
     mid = params["mid_block"]
-    h = _resnet(mid["resnets"][0], h, temb, cfg)
-    h = _transformer2d(
-        mid["attentions"][0], h, context, cfg, "mid_block.attentions.0",
-        cond, captured,
+    h = resnet_fn(mid["resnets"][0], h, temb, cfg)
+    h = transformer_fn(
+        mid["attentions"][0], h, context, cfg, "mid_block.attentions.0", cond
     )
-    h = _resnet(mid["resnets"][1], h, temb, cfg)
+    h = resnet_fn(mid["resnets"][1], h, temb, cfg)
 
     if down_only:
         return skips, h, temb
@@ -450,11 +469,11 @@ def apply(
         for j, rp in enumerate(block["resnets"]):
             skip = skips.pop()
             h = jnp.concatenate([h, skip], axis=-1)
-            h = _resnet(rp, h, temb, cfg)
+            h = resnet_fn(rp, h, temb, cfg)
             if has_attn:
-                h = _transformer2d(
+                h = transformer_fn(
                     block["attentions"][j], h, context, cfg,
-                    f"up_blocks.{i}.attentions.{j}", cond, captured,
+                    f"up_blocks.{i}.attentions.{j}", cond,
                 )
         if "upsamplers" in block:
             h = nn.upsample_nearest_2x(h)

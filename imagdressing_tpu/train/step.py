@@ -75,6 +75,9 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
             b2=cfg.adam_b2,
             eps=cfg.adam_eps,
             weight_decay=cfg.weight_decay,
+            # bf16 first moment: halves optimizer HBM (the reference leans on
+            # ZeRO-2 sharding for this; on one chip the dtype does the work)
+            mu_dtype=jnp.bfloat16,
         ),
     )
     # Non-finite-gradient guard: skip the update instead of poisoning the
@@ -127,6 +130,14 @@ def make_train_step(
     def loss_fn(trainable, frozen, batch, rng):
         b = batch["person_image"].shape[0]
         compute_dtype = frozen["unet"]["conv_in"]["kernel"].dtype
+        # mixed precision: fp32 master params, compute-dtype working copy
+        # (the cast's VJP accumulates grads back in fp32)
+        if trainable["ref_unet"]["conv_in"]["kernel"].dtype != compute_dtype:
+            trainable = jax.tree.map(
+                lambda a: a.astype(compute_dtype)
+                if jnp.issubdtype(a.dtype, jnp.floating) else a,
+                trainable,
+            )
         r_lat, r_clat, r_noise, r_offset, r_t = jax.random.split(rng, 5)
 
         # frozen encoders (no_grad in the reference; lax.stop_gradient makes
@@ -172,6 +183,7 @@ def make_train_step(
         eps_pred = unet_lib.apply(
             frozen["unet"], unet_cfg, noisy.astype(compute_dtype), t,
             text_embeds.astype(compute_dtype), cond,
+            remat=True,  # block-level recompute: fits 512x640 batches on-chip
         ).astype(jnp.float32)
 
         se = jnp.mean((eps_pred - noise) ** 2, axis=(1, 2, 3))

@@ -61,6 +61,45 @@ def test_dual_kv_different_ref_length():
     np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
 
 
+def test_flash_backward_matches_autodiff():
+    """The custom-VJP blockwise backward must equal autodiff of the naive
+    SDPA (dual source, per-batch scales, including the scale-0 row)."""
+    import imagdressing_tpu.kernels.flash_attention as fa
+
+    rng = np.random.default_rng(7)
+    B, S, H, D = 2, 256, 2, 8
+    q, k, v, kr, vr = (
+        jnp.asarray(rng.standard_normal((B, S, H, D)).astype(np.float32))
+        for _ in range(5)
+    )
+    scale = jnp.asarray([0.0, 0.7], jnp.float32)
+    tgt = jnp.asarray(rng.standard_normal((B, S, H, D)).astype(np.float32))
+
+    def naive(q, k, v, kr, vr):
+        def sdpa(q, k, v):
+            logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(D)
+            p = jax.nn.softmax(logits, -1)
+            return jnp.einsum("bhqk,bkhd->bqhd", p, v)
+
+        out = sdpa(q, k, v) + scale[:, None, None, None] * sdpa(q, kr, vr)
+        return jnp.sum((out - tgt) ** 2)
+
+    def ours(q, k, v, kr, vr):
+        fa.INTERPRET = True
+        try:
+            out = fa.flash_attention(q, k, v, kr, vr, scale,
+                                     block_q=128, block_k=128)
+        finally:
+            fa.INTERPRET = False
+        return jnp.sum((out - tgt) ** 2)
+
+    g_naive = jax.grad(naive, argnums=(0, 1, 2, 3, 4))(q, k, v, kr, vr)
+    g_ours = jax.grad(ours, argnums=(0, 1, 2, 3, 4))(q, k, v, kr, vr)
+    for gn, go in zip(g_naive, g_ours):
+        np.testing.assert_allclose(np.asarray(go), np.asarray(gn),
+                                   atol=5e-3, rtol=1e-3)
+
+
 def test_flash_kernel_interpret_mode():
     """Run the Pallas dual-KV kernel through the interpreter on CPU."""
     import imagdressing_tpu.kernels.flash_attention as fa
