@@ -5,7 +5,14 @@ RTX 3090 (global 50), 512x640, fp16 ZeRO-2. This measures our jitted train
 step (VAE encode x2 + CLIP text/vision + garment capture + UNet + backward +
 AdamW) at the same per-device resolution in bf16.
 
-Prints one JSON line: {"metric": "train_step_512x640", "value": seconds,
+CAVEAT for the axon-tunneled dev chip: measured step times carry a large
+RESOLUTION-INDEPENDENT overhead (~30 s/step at both 640x512 and 320x256 —
+the ~8 GB train state appears to round-trip through the relay per call).
+Treat numbers from this environment as an upper bound; on directly attached
+TPUs the step is compute-bound (UNet fwd+bwd+remat ≈ 4-5x the 37.8 ms
+inference step → ~0.2 s/step expected).
+
+Prints one JSON line: {"metric": f"train_step_{width}x{height}", "value": seconds,
 "unit": "s/step", "images_per_sec_per_chip": ...}.
 """
 
@@ -18,7 +25,8 @@ import time
 import numpy as np
 
 
-def main(batch_size: int = 1, steps: int = 5):
+def main(batch_size: int = 1, steps: int = 5, height: int = 640,
+         width: int = 512):
     import jax
     import jax.numpy as jnp
 
@@ -66,15 +74,15 @@ def main(batch_size: int = 1, steps: int = 5):
         step=jnp.zeros((), jnp.int32), params=trainable,
         opt_state=tx.init(trainable),
     )
-    step_fn = jax.jit(make_train_step(models, cfg, tx), donate_argnums=(0,))
+    step_fn = jax.jit(make_train_step(models, cfg, tx))
 
     rng = np.random.default_rng(0)
     batch = {
         "person_image": jnp.asarray(
-            rng.standard_normal((batch_size, 640, 512, 3)).astype(np.float32)
+            rng.standard_normal((batch_size, height, width, 3)).astype(np.float32)
             .clip(-1, 1)),
         "cloth_image": jnp.asarray(
-            rng.standard_normal((batch_size, 640, 512, 3)).astype(np.float32)
+            rng.standard_normal((batch_size, height, width, 3)).astype(np.float32)
             .clip(-1, 1)),
         "cloth_clip": jnp.asarray(
             rng.standard_normal((batch_size, 224, 224, 3)).astype(np.float32)),
@@ -91,7 +99,7 @@ def main(batch_size: int = 1, steps: int = 5):
     jax.block_until_ready(metrics["loss"])
     dt = (time.perf_counter() - t0) / steps
     print(json.dumps({
-        "metric": "train_step_512x640",
+        "metric": f"train_step_{width}x{height}",
         "value": round(dt, 4),
         "unit": "s/step",
         "batch_per_chip": batch_size,
@@ -101,4 +109,13 @@ def main(batch_size: int = 1, steps: int = 5):
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    kwargs = {}
+    if len(sys.argv) > 1:
+        kwargs["height"] = int(sys.argv[1])
+    if len(sys.argv) > 2:
+        kwargs["width"] = int(sys.argv[2])
+    if len(sys.argv) > 3:
+        kwargs["batch_size"] = int(sys.argv[3])
+    main(**kwargs)
