@@ -38,7 +38,7 @@ def main(batch_size: int = 1, steps: int = 5, height: int = 640,
 
     from imagdressing_tpu.core.config import TrainConfig
     from imagdressing_tpu.pipelines.dressing import DressingModels
-    from imagdressing_tpu.train.step import init_train_state, make_train_step
+    from imagdressing_tpu.train.step import make_train_step
 
     import gc
 

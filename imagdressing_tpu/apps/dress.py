@@ -55,7 +55,6 @@ def build_argparser() -> argparse.ArgumentParser:
 
 def main(argv=None):
     args = build_argparser().parse_args(argv)
-    import jax
     from PIL import Image
 
     from imagdressing_tpu.apps import image_utils as iu

@@ -140,8 +140,6 @@ def load_dressing_models(
 
 
 def _fold_unet_lora(unet_params, lora_attn1, lora_attn2, scale, cfg):
-    import copy
-
     params = jax.tree.map(lambda x: x, unet_params)  # shallow-ish copy
 
     def tblock(name):

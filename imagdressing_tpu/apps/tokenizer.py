@@ -13,7 +13,6 @@ vocab files exist in the image (zero-egress environment).
 from __future__ import annotations
 
 import functools
-import gzip
 import html
 import json
 import os

@@ -18,7 +18,7 @@ CAMI-S = pose-overlap + face-cosine + CLIP text-image similarity
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import Sequence
 
 import numpy as np
 from scipy.ndimage import uniform_filter

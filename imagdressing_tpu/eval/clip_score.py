@@ -9,15 +9,12 @@ CLIP implementation (models/clip.py) with a transformers `CLIPModel`
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from imagdressing_tpu.core.config import CLIPTextConfig, CLIPVisionConfig
 from imagdressing_tpu.models import clip as clip_lib
-from imagdressing_tpu.ops import nn
 
 VIT_B32_TEXT = CLIPTextConfig(
     hidden_size=512, intermediate_size=2048, num_layers=12, num_heads=8

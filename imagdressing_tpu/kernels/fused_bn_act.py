@@ -26,7 +26,7 @@ mode; inference uses the folded scale/shift path (`abn_inference`).
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -23,7 +23,6 @@ Parity notes vs diffusers UNet2DConditionModel (SD1.5 config):
 
 from __future__ import annotations
 
-import math
 from typing import Any, Dict, List, Optional, Tuple
 
 import jax

@@ -14,7 +14,7 @@ of diffusers' Downsample2D(padding=0) + manual F.pad.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

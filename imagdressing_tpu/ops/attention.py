@@ -9,8 +9,6 @@ single `dual_kv_attention` call.
 from __future__ import annotations
 
 import os
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

@@ -13,7 +13,7 @@ mantissa bits, so fp32 stats are required for parity).
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,6 @@ CNN runs on TPU, batched and jitted.
 from __future__ import annotations
 
 import functools
-import math
 from typing import Dict, List, Optional, Tuple
 
 import jax

@@ -15,7 +15,7 @@ onnx_inference (:121-185) without onnxruntime:
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import cv2
 import functools

@@ -17,8 +17,7 @@ statistics, or abn_train for fine-tuning.
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, List, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp

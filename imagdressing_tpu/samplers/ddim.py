@@ -20,7 +20,7 @@ IMAGDressing_v1_pipeline.py:499-518).
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

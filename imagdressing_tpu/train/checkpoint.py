@@ -9,10 +9,9 @@ Replaces the reference's DeepSpeed `model.save_checkpoint(folder, ckpt_id,
 from __future__ import annotations
 
 import os
-from typing import Any, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
-import numpy as np
 import orbax.checkpoint as ocp
 
 from imagdressing_tpu.train.step import TrainState

@@ -24,7 +24,7 @@ import json
 import threading
 import queue as queue_lib
 from concurrent.futures import ThreadPoolExecutor
-from typing import Any, Callable, Dict, Iterator, List, Optional, Sequence
+from typing import Callable, Dict, Iterator, List
 
 import numpy as np
 

@@ -22,7 +22,6 @@ TPU-first deltas from the reference:
 
 from __future__ import annotations
 
-import dataclasses
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import flax.struct
