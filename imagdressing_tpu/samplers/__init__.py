@@ -1,1 +1,1 @@
-from imagdressing_tpu.samplers import ddim  # noqa: F401
+from imagdressing_tpu.samplers import ddim, dpm, unipc  # noqa: F401
