@@ -145,3 +145,35 @@ def test_schp_forward_shapes():
     # stride 4 outputs
     assert fusion.shape == (1, 16, 16, 18)
     assert edge.shape == (1, 16, 16, 2)
+
+
+def test_hand_model_and_boxes():
+    from imagdressing_tpu.preprocess.openpose import hand
+
+    params = hand.init(jax.random.PRNGKey(0))
+    heat = hand.apply(params, jnp.zeros((1, 64, 64, 3)))
+    assert heat.shape == (1, 8, 8, 22)
+
+    kps = np.asarray(_synthetic_keypoints()["pose_keypoints_2d"])
+    boxes = hand.detect_hand_boxes(kps, 512, 384)
+    assert len(boxes) == 2  # both arms present in the fixture
+    for x, y, w, is_left in boxes:
+        assert w >= 20 and 0 <= x < 384 and 0 <= y < 512
+    # wrist-extrapolated box centers sit past the wrists
+    assert {b[3] for b in boxes} == {True, False}
+
+    # missing wrist -> that hand is skipped
+    kps2 = kps.copy()
+    kps2[4] = 0.0
+    assert len(hand.detect_hand_boxes(kps2, 512, 384)) == 1
+
+
+def test_hand_inference_contract():
+    from imagdressing_tpu.preprocess.openpose import hand
+
+    h = hand.Hand(hand.init(jax.random.PRNGKey(1)))
+    crop = np.random.default_rng(0).integers(0, 255, (60, 60, 3),
+                                             dtype=np.uint8)
+    peaks = h(crop, scales=(0.5,))
+    assert peaks.shape == (21, 2)
+    assert (peaks[:, 0] < 60).all() and (peaks[:, 1] < 60).all()
