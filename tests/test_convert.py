@@ -313,3 +313,52 @@ def test_resampler_conversion_matches_param_count():
 
     out = rl.apply(params, rcfg, jnp.zeros((1, 257, ed)))
     assert out.shape == (1, rcfg.num_queries, od)
+
+
+def test_convert_controlnet():
+    from imagdressing_tpu.convert import convert_controlnet
+    from imagdressing_tpu.core.config import ControlNetConfig
+    from imagdressing_tpu.models import controlnet as cn_lib
+
+    cn_cfg = ControlNetConfig(
+        unet=SMALL, conditioning_embedding_channels=(8, 16, 24, 32)
+    )
+    g = torch.Generator().manual_seed(5)
+    sd = _torch_unet_sd(SMALL, seed=6)
+    # drop the UNet-decoder keys a controlnet doesn't have
+    sd = {k: v for k, v in sd.items()
+          if not (k.startswith("up_blocks") or k.startswith("conv_norm_out")
+                  or k.startswith("conv_out"))}
+    ch = cn_cfg.conditioning_embedding_channels
+    sd["controlnet_cond_embedding.conv_in.weight"] = torch.randn(
+        ch[0], 3, 3, 3, generator=g)
+    sd["controlnet_cond_embedding.conv_in.bias"] = torch.randn(ch[0], generator=g)
+    bi = 0
+    for i in range(len(ch) - 1):
+        for ci, co in ((ch[i], ch[i]), (ch[i], ch[i + 1])):
+            sd[f"controlnet_cond_embedding.blocks.{bi}.weight"] = torch.randn(
+                co, ci, 3, 3, generator=g)
+            sd[f"controlnet_cond_embedding.blocks.{bi}.bias"] = torch.randn(
+                co, generator=g)
+            bi += 1
+    sd["controlnet_cond_embedding.conv_out.weight"] = torch.zeros(
+        SMALL.block_out_channels[0], ch[-1], 3, 3)
+    sd["controlnet_cond_embedding.conv_out.bias"] = torch.zeros(
+        SMALL.block_out_channels[0])
+    from imagdressing_tpu.models.controlnet import _skip_channels
+
+    for i, c in enumerate(_skip_channels(SMALL)):
+        sd[f"controlnet_down_blocks.{i}.weight"] = torch.zeros(c, c, 1, 1)
+        sd[f"controlnet_down_blocks.{i}.bias"] = torch.zeros(c)
+    mid = SMALL.block_out_channels[-1]
+    sd["controlnet_mid_block.weight"] = torch.zeros(mid, mid, 1, 1)
+    sd["controlnet_mid_block.bias"] = torch.zeros(mid)
+
+    params = convert_controlnet(sd, cn_cfg)
+    down, mid_res = cn_lib.apply(
+        params, cn_cfg, jnp.ones((1, 8, 8, 4)), jnp.array([3]),
+        jnp.zeros((1, 77, 32)), jnp.ones((1, 64, 64, 3)),
+    )
+    assert len(down) == 12
+    # zero output convs in the synthetic dict -> zero residuals
+    np.testing.assert_allclose(np.asarray(mid_res), 0.0)
