@@ -177,3 +177,18 @@ def test_hand_inference_contract():
     peaks = h(crop, scales=(0.5,))
     assert peaks.shape == (21, 2)
     assert (peaks[:, 0] < 60).all() and (peaks[:, 1] < 60).all()
+
+
+def test_face_model_and_inference():
+    from imagdressing_tpu.preprocess.openpose import face
+
+    params = face.init(jax.random.PRNGKey(2))
+    heat = face.apply(params, jnp.zeros((1, 64, 64, 3)))
+    assert heat.shape == (1, 8, 8, 71)
+
+    f = face.Face(params, inference_size=64)
+    crop = np.random.default_rng(1).integers(0, 255, (50, 40, 3),
+                                             dtype=np.uint8)
+    peaks = f(crop)
+    assert peaks.shape == (70, 2)
+    assert (peaks[:, 0] < 40).all() and (peaks[:, 1] < 50).all()
