@@ -41,6 +41,8 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--negative_prompt", type=str, default=None)
     p.add_argument("--output_path", type=str, default="./output_sd_base")
     p.add_argument("--num_inference_steps", type=int, default=None)
+    p.add_argument("--height", type=int, default=None)
+    p.add_argument("--width", type=int, default=None)
     p.add_argument("--guidance_scale", type=float, default=None)
     p.add_argument("--image_scale", type=float, default=None)
     p.add_argument("--lora_scale", type=float, default=0.2)
@@ -63,11 +65,15 @@ def main(argv=None):
     from imagdressing_tpu.core.config import PRESETS
     from imagdressing_tpu.pipelines.dressing import DressingPipeline
 
+    import dataclasses
+
     preset = PRESETS[args.preset]
     if args.sampler:
-        import dataclasses
-
         preset = dataclasses.replace(preset, sampler=args.sampler)
+    if args.height:
+        preset = dataclasses.replace(preset, height=args.height)
+    if args.width:
+        preset = dataclasses.replace(preset, width=args.width)
     models = load_dressing_models(
         base_dir=args.base_dir,
         vae_path=args.vae_path,
@@ -130,7 +136,11 @@ def main(argv=None):
     for start in range(0, len(cloths), bs):
         chunk = cloths[start : start + bs]
         prepped = [
-            iu.prepare_garment(cp, preset.height, preset.width) for cp in chunk
+            iu.prepare_garment(
+                cp, preset.height, preset.width,
+                clip_size=models.vision_cfg.image_size,
+            )
+            for cp in chunk
         ]
         b = len(chunk)
         batched_extra = {

@@ -49,16 +49,16 @@ def image_grid(imgs: List[Image.Image], rows: int, cols: int) -> Image.Image:
 
 
 def prepare_garment(
-    path: str, height: int = 640, width: int = 512
+    path: str, height: int = 640, width: int = 512, clip_size: int = 224
 ) -> Tuple[np.ndarray, np.ndarray, Image.Image]:
-    """-> (ref_image (1,H,W,3) in [-1,1], ref_clip_image (1,224,224,3),
-    the resized PIL for collages)."""
+    """-> (ref_image (1,H,W,3) in [-1,1], ref_clip_image
+    (1,clip_size,clip_size,3), the resized PIL for collages)."""
     img = Image.open(path).convert("RGB")
     img = resize_img(img)
     vae_view = np.asarray(
         img.resize((width, height), Image.BILINEAR), np.float32
     ) / 127.5 - 1.0
-    clip_view = clip_preprocess_np(np.asarray(img))
+    clip_view = clip_preprocess_np(np.asarray(img), size=clip_size)
     return vae_view[None], clip_view[None], img
 
 

@@ -58,10 +58,21 @@ def load_dressing_models(
     ip_ckpt: Optional[str] = None,
     lora_scale: float = 0.0,
     dtype=jnp.bfloat16,
+    unet_cfg: Optional[UNetConfig] = None,
+    vae_cfg: Optional[VAEConfig] = None,
+    text_cfg: Optional[CLIPTextConfig] = None,
+    vision_cfg: Optional[CLIPVisionConfig] = None,
+    resampler_cfg: Optional[ResamplerConfig] = None,
+    projplus_cfg: Optional[ProjPlusConfig] = None,
 ) -> DressingModels:
-    unet_cfg, vae_cfg = UNetConfig(), VAEConfig()
-    text_cfg, vision_cfg = CLIPTextConfig(), CLIPVisionConfig()
-    resampler_cfg, projplus_cfg = ResamplerConfig(), ProjPlusConfig()
+    """Configs default to the SD1.5 stack the reference ships; pass overrides
+    for other bases (SD2-class dims, test-scale models, ...)."""
+    unet_cfg = unet_cfg or UNetConfig()
+    vae_cfg = vae_cfg or VAEConfig()
+    text_cfg = text_cfg or CLIPTextConfig()
+    vision_cfg = vision_cfg or CLIPVisionConfig()
+    resampler_cfg = resampler_cfg or ResamplerConfig()
+    projplus_cfg = projplus_cfg or ProjPlusConfig()
 
     unet_sd = cv.load_torch_file(_find_weights(os.path.join(base_dir, "unet")))
     text_sd = cv.load_torch_file(

@@ -1,0 +1,69 @@
+"""End-to-end dress CLI test: real argv -> garment prep -> pipeline ->
+collage on disk (model loading stubbed with the small random stack; the
+converters have their own synthetic-checkpoint tests)."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+from PIL import Image
+
+import imagdressing_tpu.apps.dress as dress
+from imagdressing_tpu.apps.tokenizer import HashTokenizer
+from imagdressing_tpu.pipelines.dressing import DressingModels
+
+
+@pytest.fixture()
+def stubbed(monkeypatch):
+    # dress.main imports these lazily — patch them at their source modules
+    import imagdressing_tpu.apps.loader as loader_mod
+    import imagdressing_tpu.apps.tokenizer as tok_mod
+
+    models = DressingModels.init_random(jax.random.PRNGKey(0), small=True)
+    monkeypatch.setattr(loader_mod, "load_dressing_models",
+                        lambda **kwargs: models)
+    monkeypatch.setattr(tok_mod, "load_tokenizer",
+                        lambda path, max_length=77: HashTokenizer())
+    return models
+
+
+def _write_cloth(path):
+    rng = np.random.default_rng(0)
+    Image.fromarray(
+        rng.integers(0, 255, (600, 460, 3), dtype=np.uint8)
+    ).save(path)
+
+
+def test_basic_cli_end_to_end(stubbed, tmp_path):
+    cloth = tmp_path / "shirt.jpg"
+    _write_cloth(cloth)
+    out_dir = tmp_path / "out"
+    dress.main([
+        "--preset", "basic",
+        "--cloth_path", str(cloth),
+        "--output_path", str(out_dir),
+        "--height", "64", "--width", "64",
+        "--num_inference_steps", "2",
+        "--seed", "3",
+    ])
+    saved = Image.open(out_dir / "shirt.jpg")
+    # collage = [garment | result] side by side
+    assert saved.size == (128, 64)
+
+
+def test_folder_batching_cli(stubbed, tmp_path):
+    cloth_dir = tmp_path / "garments"
+    cloth_dir.mkdir()
+    for name in ("a.jpg", "b.jpg", "c.jpg"):
+        _write_cloth(cloth_dir / name)
+    out_dir = tmp_path / "out"
+    dress.main([
+        "--preset", "basic",
+        "--cloth_dir", str(cloth_dir),
+        "--batch_size", "2",
+        "--output_path", str(out_dir),
+        "--height", "64", "--width", "64",
+        "--num_inference_steps", "2",
+    ])
+    assert sorted(os.listdir(out_dir)) == ["a.jpg", "b.jpg", "c.jpg"]
