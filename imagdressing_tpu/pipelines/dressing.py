@@ -148,6 +148,10 @@ class DressingPipeline:
         preset: PipelineConfig,
         sched_cfg: SchedulerConfig = SchedulerConfig(),
     ):
+        if preset.sampler not in ("ddim", "dpm2m", "unipc"):
+            raise ValueError(
+                f"unknown sampler {preset.sampler!r}; expected ddim/dpm2m/unipc"
+            )
         self.models = models
         self.preset = preset
         self.schedule = ddim.make_schedule(sched_cfg)
@@ -320,6 +324,7 @@ def _generate(
     # ---- 5. inpaint init ---------------------------------------------------
     ts_full = ddim.timesteps(schedule, num_inference_steps)
     noise = inputs["latents"].astype(jnp.float32)
+    t_start = 0
     if preset.use_inpaint:
         t_start = max(
             num_inference_steps - int(num_inference_steps * preset.strength), 0
@@ -369,12 +374,27 @@ def _generate(
         return eps_uncond + guidance * (eps_text - eps_uncond)
 
     # ---- 7. the scan --------------------------------------------------------
-    if preset.sampler in ("dpm2m", "unipc") and not preset.use_inpaint:
+    # Inpaint recomposition is a sampler-agnostic post-step hook: re-noise the
+    # known region to the NEXT timestep and paste it back (reference
+    # ..._controlnet_inpainting.py:487-500 uses timesteps[i+1]).
+    post_fn = None
+    if preset.use_inpaint:
+
+        def post_fn(lat, t_next, is_last):
+            init_proper = jnp.where(
+                is_last,
+                image_latents,
+                ddim.add_noise(schedule, image_latents, noise, t_next),
+            )
+            return (1.0 - mask_latent) * init_proper + mask_latent * lat
+
+    if preset.sampler in ("dpm2m", "unipc"):
         from imagdressing_tpu.samplers import dpm, unipc
 
         loop = unipc.sample_loop if preset.sampler == "unipc" else dpm.sample_loop
         latents = loop(
-            schedule, eps_fn, latents.astype(jnp.float32), num_inference_steps
+            schedule, eps_fn, latents.astype(jnp.float32), num_inference_steps,
+            t_start=t_start, post_fn=post_fn,
         )
         images = vae_lib.decode(
             params["vae"], vae_cfg, (latents / sf).astype(compute_dtype)
@@ -382,21 +402,14 @@ def _generate(
         return jnp.clip(images.astype(jnp.float32) * 0.5 + 0.5, 0.0, 1.0)
 
     ts_arr = jnp.asarray(ts_used)
-    # next-step timesteps for inpaint re-noising (reference
-    # ..._controlnet_inpainting.py:487-500 uses timesteps[i+1])
     ts_next = jnp.concatenate([ts_arr[1:], jnp.zeros((1,), ts_arr.dtype)])
 
     def body(lat, t_pair):
         t, t_next, is_last = t_pair
         eps = eps_fn(lat, t)
         lat = ddim.step(schedule, eps, t, lat, num_inference_steps)
-        if preset.use_inpaint:
-            init_proper = jnp.where(
-                is_last,
-                image_latents,
-                ddim.add_noise(schedule, image_latents, noise, t_next),
-            )
-            lat = (1.0 - mask_latent) * init_proper + mask_latent * lat
+        if post_fn is not None:
+            lat = post_fn(lat, t_next, is_last)
         return lat, None
 
     is_last_arr = jnp.arange(len(ts_used)) == len(ts_used) - 1

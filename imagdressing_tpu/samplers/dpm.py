@@ -19,7 +19,7 @@ Python-side history.
 
 from __future__ import annotations
 
-from typing import Callable
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -27,10 +27,20 @@ import numpy as np
 
 from imagdressing_tpu.samplers import ddim
 
+# A post-step hook applied to the updated sample: (x_next, t_next, is_last)
+# -> x_next. Used by the inpaint pipeline to recompose masked latents after
+# every solver update (reference ..._controlnet_inpainting.py:487-500 does
+# this inline in its DDIM loop; here it composes with any sampler).
+PostStepFn = Callable[[jnp.ndarray, jnp.ndarray, jnp.ndarray], jnp.ndarray]
 
-def _lambda_tables(sched: ddim.DDIMSchedule, num_steps: int):
-    """Per-step (alpha, sigma, lambda) for ts plus the terminal point."""
-    ts = ddim.timesteps(sched, num_steps)
+
+def _lambda_tables(sched: ddim.DDIMSchedule, num_steps: int, t_start: int = 0):
+    """Per-step (alpha, sigma, lambda) for ts plus the terminal point.
+
+    `t_start` drops the first steps (inpaint strength truncation, diffusers
+    get_timesteps semantics).
+    """
+    ts = ddim.timesteps(sched, num_steps)[t_start:]
     ac = sched.alphas_cumprod
     abar = ac[ts]
     # terminal: prev step below 0 uses final_alpha_cumprod (DDIM semantics)
@@ -52,17 +62,23 @@ def sample_loop(
     eps_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
     latents: jnp.ndarray,
     num_inference_steps: int,
+    *,
+    t_start: int = 0,
+    post_fn: Optional[PostStepFn] = None,
 ) -> jnp.ndarray:
     ts, alpha, sigma, lam, alpha_n, sigma_n, lam_n = _lambda_tables(
-        sched, num_inference_steps
+        sched, num_inference_steps, t_start
     )
+    ts_next = np.concatenate([ts[1:], np.zeros((1,), ts.dtype)])
+    is_last = np.arange(len(ts)) == len(ts) - 1
     tables = jax.tree.map(
-        jnp.asarray, (ts, alpha, sigma, lam, alpha_n, sigma_n, lam_n)
+        jnp.asarray,
+        (ts, alpha, sigma, lam, alpha_n, sigma_n, lam_n, ts_next, is_last),
     )
 
     def body(carry, per_step):
         x, x0_prev, lam_prev, is_first = carry
-        t, a_i, s_i, l_i, a_next, s_next, l_next = per_step
+        t, a_i, s_i, l_i, a_next, s_next, l_next, t_next, last = per_step
         eps = eps_fn(x, t).astype(jnp.float32)
         x0 = (x - s_i * eps) / a_i
 
@@ -73,6 +89,8 @@ def sample_loop(
         d_multi = (1.0 + coeff) * x0 - coeff * x0_prev
         d = jnp.where(is_first, x0, d_multi)
         x_next = (s_next / s_i) * x - a_next * jnp.expm1(-h) * d
+        if post_fn is not None:
+            x_next = post_fn(x_next, t_next, last)
         return (x_next, x0, l_i, jnp.zeros_like(is_first)), None
 
     init = (

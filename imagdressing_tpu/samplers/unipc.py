@@ -21,14 +21,14 @@ jitted body.
 
 from __future__ import annotations
 
-from typing import Callable
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from imagdressing_tpu.samplers import ddim
-from imagdressing_tpu.samplers.dpm import _lambda_tables
+from imagdressing_tpu.samplers.dpm import PostStepFn, _lambda_tables
 
 
 def _phi1(h):
@@ -46,14 +46,18 @@ def sample_loop(
     num_inference_steps: int,
     *,
     use_corrector: bool = True,
+    t_start: int = 0,
+    post_fn: Optional[PostStepFn] = None,
 ) -> jnp.ndarray:
     ts, alpha, sigma, lam, alpha_n, sigma_n, lam_n = _lambda_tables(
-        sched, num_inference_steps
+        sched, num_inference_steps, t_start
     )
     n = len(ts)
+    ts_next = np.concatenate([ts[1:], np.zeros((1,), ts.dtype)])
     tabs = jax.tree.map(
         jnp.asarray,
-        (ts.astype(np.int32), alpha, sigma, lam, alpha_n, sigma_n, lam_n),
+        (ts.astype(np.int32), alpha, sigma, lam, alpha_n, sigma_n, lam_n,
+         ts_next.astype(np.int32)),
     )
 
     def body(carry, idx):
@@ -89,6 +93,8 @@ def sample_loop(
         first_order = (s_n / s_i) * x + a_n * _phi1(h) * x0
         second = first_order + a_n * _phi2(h) * d1_ms
         x_next = jnp.where(is_first, first_order, second)
+        if post_fn is not None:
+            x_next = post_fn(x_next, tabs[7][idx], idx == n - 1)
 
         return (x_next, x, x0, jnp.zeros((), jnp.bool_)), None
 

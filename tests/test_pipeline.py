@@ -111,6 +111,52 @@ def test_inpaint_preset_preserves_unmasked(small_models):
     assert err_unmasked < err_masked
 
 
+@pytest.mark.parametrize("sampler", ["dpm2m", "unipc"])
+def test_inpaint_multistep_samplers(small_models, sampler):
+    """Inpaint presets must honor dpm2m/unipc (round 1 silently fell back to
+    DDIM): same mask-preservation property as DDIM, different trajectory."""
+    def build(s):
+        preset = dataclasses.replace(
+            PRESETS["inpaint"], height=64, width=64, num_inference_steps=4,
+            strength=0.75, sampler=s,
+        )
+        return DressingPipeline(small_models, preset)
+
+    rng = np.random.default_rng(3)
+    person = rng.standard_normal((1, 64, 64, 3)).astype(np.float32).clip(-1, 1)
+    mask = np.zeros((1, 64, 64, 1), np.float32)
+    mask[:, :32] = 1.0
+    kw = dict(
+        **_inputs(),
+        pose_image=rng.random((1, 64, 64, 3)).astype(np.float32),
+        person_image=person,
+        mask_image=mask,
+    )
+    out = build(sampler)(**kw)
+    out_ddim = build("ddim")(**kw)
+    assert out.shape == (1, 64, 64, 3)
+    assert np.isfinite(out).all()
+    # not a silent DDIM fallback: masked region follows a different trajectory
+    assert np.abs(out[0, :24] - out_ddim[0, :24]).max() > 1e-4
+
+    import jax.numpy as jnp
+    from imagdressing_tpu.models import vae as vae_lib
+
+    m = small_models
+    lat = vae_lib.encode_mean(m.params["vae"], m.vae_cfg, jnp.asarray(person))
+    recon = np.asarray(vae_lib.decode(m.params["vae"], m.vae_cfg, lat))
+    recon01 = np.clip(recon * 0.5 + 0.5, 0, 1)
+    err_unmasked = np.abs(out[0, 40:] - recon01[0, 40:]).mean()
+    err_masked = np.abs(out[0, :24] - recon01[0, :24]).mean()
+    assert err_unmasked < err_masked
+
+
+def test_unknown_sampler_raises(small_models):
+    preset = dataclasses.replace(PRESETS["basic"], sampler="euler")
+    with pytest.raises(ValueError, match="unknown sampler"):
+        DressingPipeline(small_models, preset)
+
+
 def test_tokenizer_hash_fallback():
     from imagdressing_tpu.apps.tokenizer import HashTokenizer, load_tokenizer
 
