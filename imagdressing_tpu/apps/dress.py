@@ -50,6 +50,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--batch_size", type=int, default=1,
                    help="garments per device batch in --cloth_dir mode (the "
                         "reference's *_folder.py scripts loop serially)")
+    p.add_argument("--data_parallel", type=int, default=1,
+                   help="shard the batch across this many chips (-1 = all "
+                        "devices); one garment per chip on a v5e-8 pod slice")
     p.add_argument("--sampler", default=None,
                    choices=[None, "ddim", "unipc", "dpm2m"])
     return p
@@ -84,7 +87,13 @@ def main(argv=None):
         lora_scale=args.lora_scale if preset.use_ipa else 0.0,
     )
     tokenizer = load_tokenizer(os.path.join(args.base_dir, "tokenizer"))
-    pipe = DressingPipeline(models, preset)
+    mesh = None
+    if args.data_parallel != 1:
+        from imagdressing_tpu.core import mesh as mesh_lib
+
+        mesh = mesh_lib.make_mesh(data=args.data_parallel, model=1)
+        args.batch_size = max(args.batch_size, mesh.shape[mesh_lib.DATA_AXIS])
+    pipe = DressingPipeline(models, preset, mesh=mesh)
 
     prompt = args.prompt or (
         "A beautiful woman, confident smile expression, best quality, high quality"

@@ -266,6 +266,9 @@ def main(argv=None):
     p.add_argument("--vae_path", default="ckpt/sd-vae-ft-mse")
     p.add_argument("--image_encoder_path", default="ckpt/image_encoder")
     p.add_argument("--max_batch", type=int, default=4)
+    p.add_argument("--data_parallel", type=int, default=1,
+                   help="shard request batches across this many chips "
+                        "(-1 = all devices)")
     args = p.parse_args(argv)
 
     import os
@@ -281,7 +284,12 @@ def main(argv=None):
         image_encoder_path=args.image_encoder_path,
         model_ckpt=args.model_ckpt,
     )
-    pipe = DressingPipeline(models, preset)
+    mesh = None
+    if args.data_parallel != 1:
+        from imagdressing_tpu.core import mesh as mesh_lib
+
+        mesh = mesh_lib.make_mesh(data=args.data_parallel, model=1)
+    pipe = DressingPipeline(models, preset, mesh=mesh)
     tokenizer = load_tokenizer(os.path.join(args.base_dir, "tokenizer"))
     worker = InferenceWorker(pipe, tokenizer, max_batch=args.max_batch)
 

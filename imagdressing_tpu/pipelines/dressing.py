@@ -140,6 +140,14 @@ class DressingPipeline:
     The public argument names mirror the reference pipelines' signatures
     (prompt/negative_prompt/ref_image/width/height/num_inference_steps/
     guidance_scale/image_scale) so reference users find the same surface.
+
+    Pass `mesh` (a (data, model) `jax.sharding.Mesh`, see core.mesh) to shard
+    generation across chips: params are replicated, every input's batch dim is
+    sharded over the `data` axis, and XLA partitions the whole program — the
+    TPU equivalent of the reference's serial folder loops
+    (inference_IMAGdressing_ipa_controlnetpose_folder.py:196-253) running one
+    garment per chip. Batches that don't divide the data-axis size are padded
+    with their last row and sliced back after decode.
     """
 
     def __init__(
@@ -147,29 +155,51 @@ class DressingPipeline:
         models: DressingModels,
         preset: PipelineConfig,
         sched_cfg: SchedulerConfig = SchedulerConfig(),
+        mesh: Optional[jax.sharding.Mesh] = None,
     ):
         if preset.sampler not in ("ddim", "dpm2m", "unipc"):
             raise ValueError(
                 f"unknown sampler {preset.sampler!r}; expected ddim/dpm2m/unipc"
             )
-        self.models = models
         self.preset = preset
         self.schedule = ddim.make_schedule(sched_cfg)
-        self._jitted = jax.jit(
-            functools.partial(
-                _generate,
-                unet_cfg=models.unet_cfg,
-                vae_cfg=models.vae_cfg,
-                text_cfg=models.text_cfg,
-                vision_cfg=models.vision_cfg,
-                resampler_cfg=models.resampler_cfg,
-                controlnet_cfg=models.controlnet_cfg,
-                projplus_cfg=models.projplus_cfg,
-                preset=preset,
-                schedule=self.schedule,
-            ),
-            static_argnames=("num_inference_steps",),
+        self.mesh = mesh
+        jit_kwargs: Dict[str, Any] = {}
+        if mesh is not None:
+            from imagdressing_tpu.core import mesh as mesh_lib
+
+            repl = mesh_lib.replicated(mesh)
+            bsh = mesh_lib.batch_sharding(mesh)
+            self._data_size = mesh.shape[mesh_lib.DATA_AXIS]
+            models = dataclasses.replace(
+                models, params=jax.device_put(models.params, repl)
+            )
+            # prefix pytrees: one sharding per argument covers every leaf
+            jit_kwargs.update(
+                in_shardings=(repl, bsh, repl), out_shardings=bsh
+            )
+        else:
+            self._data_size = 1
+        self.models = models
+        gen = functools.partial(
+            _generate,
+            unet_cfg=models.unet_cfg,
+            vae_cfg=models.vae_cfg,
+            text_cfg=models.text_cfg,
+            vision_cfg=models.vision_cfg,
+            resampler_cfg=models.resampler_cfg,
+            controlnet_cfg=models.controlnet_cfg,
+            projplus_cfg=models.projplus_cfg,
+            preset=preset,
+            schedule=self.schedule,
         )
+
+        # positional static arg: pjit rejects kwargs when in_shardings is set
+        def gen_pos(params, inputs, scalars, num_inference_steps):
+            return gen(params, inputs, scalars,
+                       num_inference_steps=num_inference_steps)
+
+        self._jitted = jax.jit(gen_pos, static_argnums=(3,), **jit_kwargs)
 
     def __call__(
         self,
@@ -192,6 +222,25 @@ class DressingPipeline:
         """Returns generated images (B, H, W, 3) in [0, 1]."""
         p = self.preset
         steps = num_inference_steps or p.num_inference_steps
+        b_user = ref_image.shape[0]
+        pad = (-b_user) % self._data_size
+        if pad:
+            def _pad(x):
+                if x is None:
+                    return None
+                x = np.asarray(x)
+                return np.concatenate([x, np.repeat(x[-1:], pad, axis=0)])
+
+            prompt_ids = _pad(prompt_ids)
+            negative_prompt_ids = _pad(negative_prompt_ids)
+            ref_image = _pad(ref_image)
+            ref_clip_image = _pad(ref_clip_image)
+            latents = _pad(latents)
+            pose_image = _pad(pose_image)
+            faceid_embeds = _pad(faceid_embeds)
+            face_clip_image = _pad(face_clip_image)
+            person_image = _pad(person_image)
+            mask_image = _pad(mask_image)
         b, h, w = ref_image.shape[0], p.height, p.width
         if latents is None:
             key = jax.random.PRNGKey(p.seed if seed is None else seed)
@@ -222,10 +271,8 @@ class DressingPipeline:
             "person_image": None if person_image is None else jnp.asarray(person_image),
             "mask_image": None if mask_image is None else jnp.asarray(mask_image),
         }
-        out = self._jitted(
-            self.models.params, inputs, scalars, num_inference_steps=steps
-        )
-        return np.asarray(out)
+        out = self._jitted(self.models.params, inputs, scalars, steps)
+        return np.asarray(out)[:b_user]
 
 
 def _duplicate(x: jnp.ndarray) -> jnp.ndarray:
