@@ -57,7 +57,6 @@ def main(argv=None):
     from imagdressing_tpu.train.data import IGPairDataset, data_iterator
     from imagdressing_tpu.train.step import (
         init_train_state,
-        make_train_step,
         shard_train_step,
     )
 
@@ -96,8 +95,7 @@ def main(argv=None):
     log.info("mesh: %s devices, global batch %d", n_dev, global_batch)
 
     state, frozen, tx = init_train_state(models, cfg)
-    step_fn = make_train_step(models, cfg, tx)
-    jitted, state, frozen = shard_train_step(step_fn, mesh, state, frozen)
+    jitted, state, frozen = shard_train_step(models, cfg, tx, mesh, state, frozen)
 
     ckpt = CheckpointManager(os.path.join(args.output_dir, "checkpoints"))
     if args.resume_from_checkpoint:

@@ -64,25 +64,33 @@ def replicate(mesh: Mesh, tree):
     return jax.tree.map(lambda x: jax.device_put(x, s), tree)
 
 
+def zero2_axis(shape, n: int) -> Optional[int]:
+    """The dimension a ZeRO-2 shard splits: the largest one divisible by the
+    data-axis size `n`, or None (replicate). Shape-only, so gradients,
+    optimizer moments, and parameter slices all agree on the same axis."""
+    cand = [(d, s) for d, s in enumerate(shape) if s % n == 0 and s > 0]
+    if not cand:
+        return None
+    return max(cand, key=lambda ds: ds[1])[0]
+
+
 def zero2_param_sharding(mesh: Mesh, tree):
     """ZeRO-2-equivalent sharding spec tree for OPTIMIZER state: shard the
     largest dimension that divides the data-axis size; replicate the rest.
 
     DeepSpeed ZeRO-2 partitions optimizer state + gradients across ranks
     (zero_stage2_config.json:12-20). Under XLA we express the same thing as a
-    sharding annotation on the optimizer-state pytree; reduce-scatter /
-    all-gather are then compiler-inserted.
+    sharding annotation on the optimizer-state pytree; the gradient
+    reduce-scatter itself is explicit in train.step.shard_train_step.
     """
     n = mesh.shape[DATA_AXIS]
 
     def spec_for(x):
         if not hasattr(x, "shape") or x.ndim == 0:
             return NamedSharding(mesh, P())
-        # pick the largest axis divisible by the data-axis size
-        cand = [(d, s) for d, s in enumerate(x.shape) if s % n == 0]
-        if not cand:
+        axis = zero2_axis(x.shape, n)
+        if axis is None:
             return NamedSharding(mesh, P())
-        axis = max(cand, key=lambda ds: ds[1])[0]
         spec = [None] * x.ndim
         spec[axis] = DATA_AXIS
         return NamedSharding(mesh, P(*spec))

@@ -102,15 +102,18 @@ def init_train_state(
     )
 
 
-def make_train_step(
+def make_loss_fn(
     models: DressingModels,
     cfg: TrainConfig,
-    tx: optax.GradientTransformation,
     sched_cfg: Optional[SchedulerConfig] = None,
 ) -> Callable:
-    """Build the jitted step fn(state, frozen_params, batch, rng).
+    """loss_fn(trainable, frozen, batch, keys) with PER-EXAMPLE PRNG keys.
 
-    batch dict (all leading dim = per-host batch):
+    Randomness is keyed per global example index (not per batch), so the same
+    global batch produces bitwise-identical draws no matter how it is sharded
+    across devices — replicated and ZeRO-2 steps stay comparable.
+
+    batch dict (all leading dim = local batch):
       person_image   (B,H,W,3) in [-1,1]
       cloth_image    (B,H,W,3) in [-1,1]
       cloth_clip     (B,224,224,3) CLIP-normalized (zeroed when image dropped,
@@ -126,8 +129,19 @@ def make_train_step(
     resampler_cfg = models.resampler_cfg
     sf = vae_cfg.scaling_factor
 
-    def loss_fn(trainable, frozen, batch, rng):
-        b = batch["person_image"].shape[0]
+    def sample_latents(vae_params, images, keys):
+        """VAE latent_dist.sample() with a per-example eps draw
+        (reference train.py:521-527)."""
+        moments = vae_lib.encode_moments(vae_params, vae_cfg, images)
+        mean, logvar = jnp.split(moments, 2, axis=-1)
+        logvar = jnp.clip(logvar, -30.0, 20.0)
+        std = jnp.exp(0.5 * logvar)
+        eps = jax.vmap(
+            lambda k: jax.random.normal(k, mean.shape[1:], mean.dtype)
+        )(keys)
+        return mean + std * eps
+
+    def loss_fn(trainable, frozen, batch, keys):
         compute_dtype = frozen["unet"]["conv_in"]["kernel"].dtype
         # mixed precision: fp32 master params, compute-dtype working copy
         # (the cast's VJP accumulates grads back in fp32)
@@ -137,17 +151,16 @@ def make_train_step(
                 if jnp.issubdtype(a.dtype, jnp.floating) else a,
                 trainable,
             )
-        r_lat, r_clat, r_noise, r_offset, r_t = jax.random.split(rng, 5)
+        ks = jax.vmap(lambda k: jax.random.split(k, 5))(keys)  # (B, 5)
+        r_lat, r_clat, r_noise, r_offset, r_t = (ks[:, i] for i in range(5))
 
         # frozen encoders (no_grad in the reference; lax.stop_gradient makes
         # it explicit here)
-        latents = vae_lib.encode_sample(
-            frozen["vae"], vae_cfg, batch["person_image"].astype(compute_dtype),
-            r_lat,
+        latents = sample_latents(
+            frozen["vae"], batch["person_image"].astype(compute_dtype), r_lat
         ) * sf
-        cloth_latents = vae_lib.encode_sample(
-            frozen["vae"], vae_cfg, batch["cloth_image"].astype(compute_dtype),
-            r_clat,
+        cloth_latents = sample_latents(
+            frozen["vae"], batch["cloth_image"].astype(compute_dtype), r_clat
         ) * sf
         text_embeds = clip.apply_text(frozen["text"], text_cfg, batch["text_ids"])
         clip_hidden = clip.apply_vision(
@@ -159,14 +172,23 @@ def make_train_step(
             (latents, cloth_latents, text_embeds, clip_hidden),
         )
 
-        # noise + offset (train.py:529-535)
-        noise = jax.random.normal(r_noise, latents.shape, jnp.float32)
+        # noise + offset (train.py:529-535), per-example draws
+        noise = jax.vmap(
+            lambda k: jax.random.normal(k, latents.shape[1:], jnp.float32)
+        )(r_noise)
         if cfg.noise_offset > 0:
-            noise = noise + cfg.noise_offset * jax.random.normal(
-                r_offset, (b, 1, 1, latents.shape[-1]), jnp.float32
+            noise = noise + cfg.noise_offset * jax.vmap(
+                lambda k: jax.random.normal(
+                    k, (1, 1, latents.shape[-1]), jnp.float32
+                )
+            )(r_offset)
+        t = jax.vmap(
+            lambda k: jax.random.randint(
+                k, (), 0, sched_cfg.num_train_timesteps
             )
-        t = jax.random.randint(r_t, (b,), 0, sched_cfg.num_train_timesteps)
+        )(r_t)
         noisy = ddim.add_noise(schedule, latents.astype(jnp.float32), noise, t)
+        b = noisy.shape[0]
 
         # trainable graph
         cloth_tokens = resampler_lib.apply(
@@ -192,10 +214,30 @@ def make_train_step(
             se = se * weights
         return jnp.mean(se)
 
+    return loss_fn
+
+
+def _example_keys(rng, step, ids):
+    """Per-example PRNG keys: fold the step, then the global example index."""
+    rng = jax.random.fold_in(rng, step)
+    return jax.vmap(jax.random.fold_in, (None, 0))(rng, ids)
+
+
+def make_train_step(
+    models: DressingModels,
+    cfg: TrainConfig,
+    tx: optax.GradientTransformation,
+    sched_cfg: Optional[SchedulerConfig] = None,
+) -> Callable:
+    """Build the single-device/replicated step fn(state, frozen, batch, rng).
+    For the multi-chip ZeRO-2 step use `shard_train_step`."""
+    loss_fn = make_loss_fn(models, cfg, sched_cfg)
+
     def train_step(state: TrainState, frozen, batch, rng):
-        rng = jax.random.fold_in(rng, state.step)
+        b = batch["person_image"].shape[0]
+        keys = _example_keys(rng, state.step, jnp.arange(b))
         loss, grads = jax.value_and_grad(loss_fn)(
-            state.params, frozen, batch, rng
+            state.params, frozen, batch, keys
         )
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
@@ -209,13 +251,29 @@ def make_train_step(
 
 
 def shard_train_step(
-    train_step: Callable,
+    models: DressingModels,
+    cfg: TrainConfig,
+    tx: optax.GradientTransformation,
     mesh,
     state: TrainState,
     frozen,
+    sched_cfg: Optional[SchedulerConfig] = None,
 ):
-    """jit the step over a (data,) mesh: batch sharded on `data`, params
-    replicated, optimizer state ZeRO-2-sharded along `data`.
+    """ZeRO-2 step over a (data,) mesh, with the DeepSpeed communication
+    pattern made explicit via shard_map (zero_stage2_config.json:12-20):
+
+      1. each device computes local grads on its batch shard (params
+         replicated, batch sharded);
+      2. grads are REDUCE-SCATTERED: each device averages only its 1/n
+         optimizer shard (`lax.psum_scatter` — not all-reduce + slice);
+      3. global-norm clip across the scattered partition (one scalar psum;
+         exactly optax.clip_by_global_norm's select semantics, so the inner
+         clip stage of `tx` is a provable no-op);
+      4. the optimizer updates its local shard (moments live sharded);
+      5. updated param deltas are ALL-GATHERED back to replicated params.
+
+    The optimizer chain and its state structure are identical to the
+    replicated path, so checkpoints are interchangeable.
 
     Returns (jitted_step, sharded_state, sharded_frozen).
     """
@@ -223,9 +281,83 @@ def shard_train_step(
 
     from imagdressing_tpu.core import mesh as mesh_lib
 
-    replicated = NamedSharding(mesh, P())
-    batch_sharded = NamedSharding(mesh, P(mesh_lib.DATA_AXIS))
+    axis = mesh_lib.DATA_AXIS
+    n = mesh.shape[axis]
+    loss_fn = make_loss_fn(models, cfg, sched_cfg)
 
+    # per-leaf ZeRO shard axis, by shape only — grads/moments/params agree
+    grad_axes = jax.tree.map(
+        lambda p: mesh_lib.zero2_axis(p.shape, n), state.params
+    )
+
+    def scatter_grad(g, ax):
+        if ax is None:
+            return jax.lax.pmean(g, axis)
+        # sum of per-device local means / n == global mean
+        return jax.lax.psum_scatter(
+            g, axis, scatter_dimension=ax, tiled=True
+        ) / n
+
+    def shard_leaf(x, ax):
+        if ax is None:
+            return x
+        size = x.shape[ax] // n
+        start = jax.lax.axis_index(axis) * size
+        return jax.lax.dynamic_slice_in_dim(x, start, size, axis=ax)
+
+    def gather_leaf(u, ax):
+        if ax is None:
+            return u
+        return jax.lax.all_gather(u, axis, axis=ax, tiled=True)
+
+    def step_fn(state: TrainState, frozen, batch, rng):
+        local_b = batch["person_image"].shape[0]
+        ids = jax.lax.axis_index(axis) * local_b + jnp.arange(local_b)
+        keys = _example_keys(rng, state.step, ids)
+        loss, grads = jax.value_and_grad(loss_fn)(
+            state.params, frozen, batch, keys
+        )
+        loss = jax.lax.pmean(loss, axis)
+
+        grads = jax.tree.map(scatter_grad, grads, grad_axes)
+
+        # global grad norm over the scattered partition: sharded leaves are a
+        # disjoint partition (sum their squares across devices once);
+        # pmean'd leaves are replicated (count them once, no psum)
+        sq_scat = sum(
+            jnp.sum(jnp.square(g))
+            for g, ax in zip(
+                jax.tree.leaves(grads), jax.tree.leaves(grad_axes)
+            )
+            if ax is not None
+        )
+        sq_rep = sum(
+            jnp.sum(jnp.square(g))
+            for g, ax in zip(
+                jax.tree.leaves(grads), jax.tree.leaves(grad_axes)
+            )
+            if ax is None
+        )
+        gnorm = jnp.sqrt(jax.lax.psum(sq_scat, axis) + sq_rep)
+        trigger = gnorm < cfg.max_grad_norm
+        grads = jax.tree.map(
+            lambda t: jax.lax.select(
+                trigger, t, (t / gnorm.astype(t.dtype)) * cfg.max_grad_norm
+            ),
+            grads,
+        )
+
+        param_shards = jax.tree.map(shard_leaf, state.params, grad_axes)
+        updates, new_opt = tx.update(grads, state.opt_state, param_shards)
+        updates = jax.tree.map(gather_leaf, updates, grad_axes)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = TrainState(
+            step=state.step + 1, params=new_params, opt_state=new_opt
+        )
+        return new_state, {"loss": loss, "grad_norm": gnorm}
+
+    replicated = NamedSharding(mesh, P())
+    batch_sharded = NamedSharding(mesh, P(axis))
     param_shardings = jax.tree.map(lambda _: replicated, state.params)
     opt_shardings = mesh_lib.zero2_param_sharding(mesh, state.opt_state)
     state_shardings = TrainState(
@@ -233,20 +365,37 @@ def shard_train_step(
     )
     frozen_shardings = jax.tree.map(lambda _: replicated, frozen)
 
-    sharded_state = jax.device_put(state, state_shardings)
+    def _spec(s):
+        return s.spec
+
+    state_specs = jax.tree.map(
+        _spec, state_shardings, is_leaf=lambda x: isinstance(x, NamedSharding)
+    )
+    frozen_specs = jax.tree.map(
+        _spec, frozen_shardings, is_leaf=lambda x: isinstance(x, NamedSharding)
+    )
+
+    sharded = jax.shard_map(
+        step_fn,
+        mesh=mesh,
+        in_specs=(state_specs, frozen_specs, P(axis), P()),
+        out_specs=(state_specs, P()),
+        check_vma=False,
+    )
+
+    # Copy before sharding: device_put reuses the caller's buffers as the
+    # local shard (even with may_alias=False on the CPU backend), and the
+    # jitted step donates the state — without the copy, one step would delete
+    # the caller's arrays out from under them.
+    sharded_state = jax.device_put(
+        jax.tree.map(jnp.copy, state), state_shardings
+    )
     sharded_frozen = jax.device_put(frozen, frozen_shardings)
 
     jitted = jax.jit(
-        train_step,
-        in_shardings=(
-            state_shardings,
-            frozen_shardings,
-            jax.tree.map(lambda _: batch_sharded, {
-                "person_image": 0, "cloth_image": 0, "cloth_clip": 0,
-                "text_ids": 0,
-            }),
-            replicated,
-        ),
+        sharded,
+        in_shardings=(state_shardings, frozen_shardings, batch_sharded,
+                      replicated),
         out_shardings=(state_shardings, replicated),
         donate_argnums=(0,),
     )
