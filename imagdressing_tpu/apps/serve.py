@@ -54,12 +54,20 @@ class _Request:
 
 
 class InferenceWorker:
-    """Single device-owner thread; micro-batches queued requests."""
+    """Single device-owner thread; micro-batches queued requests.
 
-    def __init__(self, pipe, tokenizer, *, max_batch: int = 4):
+    `post_process(img01, payload) -> img01` runs on every decoded image —
+    the seam for the reference's modelscope face-fusion step
+    (/root/reference/app.py:172,244-252): plug a face-swap/blend callable
+    here without touching the device worker.
+    """
+
+    def __init__(self, pipe, tokenizer, *, max_batch: int = 4,
+                 post_process=None):
         self.pipe = pipe
         self.tokenizer = tokenizer
         self.max_batch = max_batch
+        self.post_process = post_process
         self.queue: "queue.Queue[_Request]" = queue.Queue()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
@@ -129,7 +137,10 @@ class InferenceWorker:
                 )
                 dt = time.perf_counter() - t0
                 for i, r in enumerate(batch):
-                    r.result = {"image": out[i], "latency_s": dt}
+                    img = out[i]
+                    if self.post_process is not None:
+                        img = self.post_process(img, r.payload)
+                    r.result = {"image": img, "latency_s": dt}
                     r.event.set()
             except Exception as e:  # noqa: BLE001 — report errors per request
                 for r in batch:
@@ -255,11 +266,86 @@ def _parse_multipart(raw: bytes, content_type: str):
     return payload, cloth
 
 
+def load_post_process(spec: str):
+    """Resolve a 'module:function' spec to the post-process callable."""
+    import importlib
+
+    mod_name, _, fn_name = spec.partition(":")
+    if not fn_name:
+        raise ValueError(
+            f"--post_process expects 'module:function', got {spec!r}"
+        )
+    return getattr(importlib.import_module(mod_name), fn_name)
+
+
+def run_gradio(worker: InferenceWorker, preset, port: int):
+    """Gradio UI over the same worker (the reference app.py's surface).
+
+    gradio is an optional dependency; the stdlib HTTP UI (`--ui http`) is the
+    default and needs nothing.
+    """
+    try:
+        import gradio as gr
+    except ImportError as e:  # pragma: no cover - exercised via test
+        raise RuntimeError(
+            "--ui gradio requires the 'gradio' package (pip install gradio); "
+            "use --ui http for the dependency-free built-in UI"
+        ) from e
+
+    from imagdressing_tpu.apps import image_utils as iu
+    from imagdressing_tpu.train.data import clip_preprocess_np
+
+    def dress(cloth, prompt, steps, guidance_scale, image_scale, seed):
+        cloth = iu.resize_img(cloth.convert("RGB"))
+        ref = (
+            np.asarray(
+                cloth.resize((preset.width, preset.height)), np.float32
+            ) / 127.5 - 1.0
+        )[None]
+        vision_size = worker.pipe.models.vision_cfg.image_size
+        payload = {
+            "prompt": prompt or iu.DEFAULT_PROMPT,
+            "steps": int(steps),
+            "guidance_scale": float(guidance_scale),
+            "image_scale": float(image_scale),
+            "seed": int(seed),
+            "ref_image": ref,
+            "ref_clip_image": clip_preprocess_np(
+                np.asarray(cloth), size=vision_size
+            )[None],
+        }
+        result = worker.submit(payload)
+        if "error" in result:
+            raise RuntimeError(result["error"])
+        return (np.clip(result["image"], 0, 1) * 255).astype(np.uint8)
+
+    demo = gr.Interface(
+        fn=dress,
+        inputs=[
+            gr.Image(type="pil", label="Garment"),
+            gr.Textbox(value=iu.DEFAULT_PROMPT, label="Prompt"),
+            gr.Slider(1, 100, value=30, step=1, label="Steps"),
+            gr.Slider(1.0, 15.0, value=7.5, label="Guidance"),
+            gr.Slider(0.0, 2.0, value=1.0, label="Cloth scale"),
+            gr.Number(value=42, label="Seed"),
+        ],
+        outputs=gr.Image(label="Result"),
+        title="IMAGDressing-TPU",
+    )
+    demo.launch(server_name="0.0.0.0", server_port=port)
+
+
 def main(argv=None):
     import argparse
 
     p = argparse.ArgumentParser(description="IMAGDressing-TPU server")
     p.add_argument("--server_port", type=int, default=7860)
+    p.add_argument("--ui", default="http", choices=["http", "gradio"],
+                   help="'http' = dependency-free built-in form; 'gradio' "
+                        "needs the optional gradio package")
+    p.add_argument("--post_process", default=None,
+                   help="'module:function' applied to each decoded image "
+                        "(the face-fusion hook, reference app.py:244-252)")
     p.add_argument("--preset", default="basic")
     p.add_argument("--model_ckpt", default="ckpt/IMAGDressing-v1_512.pt")
     p.add_argument("--base_dir", default="ckpt/Realistic_Vision_V4.0_noVAE")
@@ -291,7 +377,14 @@ def main(argv=None):
         mesh = mesh_lib.make_mesh(data=args.data_parallel, model=1)
     pipe = DressingPipeline(models, preset, mesh=mesh)
     tokenizer = load_tokenizer(os.path.join(args.base_dir, "tokenizer"))
-    worker = InferenceWorker(pipe, tokenizer, max_batch=args.max_batch)
+    post = load_post_process(args.post_process) if args.post_process else None
+    worker = InferenceWorker(
+        pipe, tokenizer, max_batch=args.max_batch, post_process=post
+    )
+
+    if args.ui == "gradio":
+        run_gradio(worker, preset, args.server_port)
+        return
 
     server = ThreadingHTTPServer(
         ("0.0.0.0", args.server_port), make_handler(worker, preset)

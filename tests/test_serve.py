@@ -81,3 +81,56 @@ def test_bad_request_is_4xx(server):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(req, timeout=30)
     assert e.value.code == 400
+
+
+def _invert(img01, payload):
+    """Toy post-process standing in for the face-fusion hook."""
+    return 1.0 - img01
+
+
+def test_post_process_hook():
+    """The hook (face-fusion seam) must run on every decoded image."""
+    models = DressingModels.init_random(jax.random.PRNGKey(0), small=True)
+    preset = dataclasses.replace(
+        PRESETS["basic"], height=64, width=64, num_inference_steps=2
+    )
+    pipe = DressingPipeline(models, preset)
+    plain = InferenceWorker(pipe, HashTokenizer(), max_batch=1)
+    hooked = InferenceWorker(
+        pipe, HashTokenizer(), max_batch=1, post_process=_invert
+    )
+    rng = np.random.default_rng(0)
+    payload = {
+        "prompt": "x",
+        "seed": 1,
+        "ref_image": rng.standard_normal((1, 64, 64, 3))
+        .astype(np.float32).clip(-1, 1),
+        "ref_clip_image": rng.standard_normal((1, 56, 56, 3))
+        .astype(np.float32),
+    }
+    a = plain.submit(dict(payload))
+    b = hooked.submit(dict(payload))
+    assert "error" not in a and "error" not in b
+    np.testing.assert_allclose(b["image"], 1.0 - a["image"], atol=1e-6)
+
+
+def test_load_post_process_spec():
+    from imagdressing_tpu.apps.serve import load_post_process
+
+    fn = load_post_process("os.path:join")
+    assert fn("a", "b").endswith("b")
+    with pytest.raises(ValueError, match="module:function"):
+        load_post_process("os.path.join")
+
+
+def test_gradio_ui_clear_error_when_missing():
+    from imagdressing_tpu.apps.serve import run_gradio
+
+    try:
+        import gradio  # noqa: F401
+
+        pytest.skip("gradio installed; error path not reachable")
+    except ImportError:
+        pass
+    with pytest.raises(RuntimeError, match="gradio"):
+        run_gradio(None, None, 7860)
