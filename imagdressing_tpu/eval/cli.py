@@ -3,6 +3,9 @@ eval_s.py (CAMI-S).
 
   python -m imagdressing_tpu.eval.cli cami-u --cloth_path A --cloth_mask_path B
   python -m imagdressing_tpu.eval.cli cami-s --pose_path ... --face_embeds ...
+  python -m imagdressing_tpu.eval.cli cami-s-grid --cloth_path ... \
+      --model_path ... --clip_model ...   (the self-contained grid driver,
+      eval_s.py:145-181 — see eval/grid.py)
 
 Deviations from the reference (documented quirks, SURVEY.md §2.4): our CLI
 joins generated paths relative to the given directory (eval.py:74 joins an
@@ -53,11 +56,19 @@ def main(argv=None):
                     help=".npy with two rows: [ref_embed, gen_embed]")
     ps.add_argument("--clip_similarity", type=float, required=True,
                     help="precomputed CLIP text-image similarity")
+    from imagdressing_tpu.eval import grid as grid_lib
+
+    grid_lib.add_parser(sub)
     args = p.parse_args(argv)
 
     if args.cmd == "cami-u":
         print("cami_us_score:", cami_u_folder(args.cloth_path,
                                               args.cloth_mask_path))
+    elif args.cmd == "cami-s-grid":
+        result = grid_lib.run(args)
+        print("cami_s_score:", result["cami_s_score"],
+              f"({result['num_cells']} cells,",
+              f"{result['num_missing']} missing)")
     else:
         from PIL import Image
 
