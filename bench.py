@@ -51,22 +51,44 @@ def main():
     pipe = DressingPipeline(models, preset)
 
     rng = np.random.default_rng(0)
-    kwargs = dict(
-        prompt_ids=rng.integers(0, 49407, (1, 77)),
-        negative_prompt_ids=rng.integers(0, 49407, (1, 77)),
-        ref_image=rng.standard_normal((1, h, w, 3)).astype(np.float32).clip(-1, 1),
-        ref_clip_image=rng.standard_normal((1, 224, 224, 3)).astype(np.float32),
-    )
 
-    # compile + warmup
+    def make_inputs(b):
+        return dict(
+            prompt_ids=rng.integers(0, 49407, (b, 77)),
+            negative_prompt_ids=rng.integers(0, 49407, (b, 77)),
+            ref_image=rng.standard_normal((b, h, w, 3))
+            .astype(np.float32).clip(-1, 1),
+            ref_clip_image=rng.standard_normal((b, 224, 224, 3))
+            .astype(np.float32),
+        )
+
+    kwargs = make_inputs(1)
+    # compile + warmup (pipe() blocks on np.asarray of the output, so
+    # per-call wall time below is a synchronous end-to-end measurement)
     pipe(**kwargs)
 
     times = []
-    for i in range(5):
+    for i in range(9):
         t0 = time.perf_counter()
-        out = pipe(**kwargs, seed=i)
+        pipe(**kwargs, seed=i)
         times.append(time.perf_counter() - t0)
     p50 = float(np.median(times))
+
+    # batched serving throughput (images/min/chip at batch 4). The remote
+    # compile helper has been seen rejecting batch>1 pipeline graphs; report
+    # null rather than fail the headline metric.
+    throughput_b4 = None
+    try:
+        kw4 = make_inputs(4)
+        pipe(**kw4)
+        t4 = []
+        for i in range(5):
+            t0 = time.perf_counter()
+            pipe(**kw4, seed=i)
+            t4.append(time.perf_counter() - t0)
+        throughput_b4 = round(4 * 60.0 / float(np.median(t4)), 1)
+    except Exception:
+        pass
 
     print(
         json.dumps(
@@ -75,6 +97,11 @@ def main():
                 "value": round(p50, 4),
                 "unit": "s/image",
                 "vs_baseline": round(2.0 / p50, 3),
+                "extra": {
+                    "reps": len(times),
+                    "throughput_img_per_min_b4": throughput_b4,
+                    "latency_all_reps_s": [round(t, 4) for t in times],
+                },
             }
         )
     )

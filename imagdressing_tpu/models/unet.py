@@ -31,6 +31,7 @@ import jax.numpy as jnp
 from imagdressing_tpu.core.config import UNetConfig
 from imagdressing_tpu.models.conditioning import Conditioning
 import imagdressing_tpu.ops.attention as attn_ops
+from imagdressing_tpu.kernels.fused_groupnorm import group_norm_act
 from imagdressing_tpu.ops import nn
 
 Params = Dict[str, Any]
@@ -252,13 +253,13 @@ def init(rng, cfg: UNetConfig) -> Params:
 
 
 def _resnet(p: Params, x: jnp.ndarray, temb: jnp.ndarray, cfg: UNetConfig) -> jnp.ndarray:
-    h = nn.group_norm(p["norm1"], x, num_groups=cfg.norm_num_groups, eps=cfg.norm_eps)
-    h = nn.silu(h)
+    h = group_norm_act(p["norm1"], x, num_groups=cfg.norm_num_groups,
+                       eps=cfg.norm_eps, act="silu")
     h = nn.conv2d(p["conv1"], h, padding=1)
     t = nn.linear(p["time_emb_proj"], nn.silu(temb))
-    h = h + t[:, None, None, :].astype(h.dtype)
-    h = nn.group_norm(p["norm2"], h, num_groups=cfg.norm_num_groups, eps=cfg.norm_eps)
-    h = nn.silu(h)
+    # +temb, norm2, silu: ONE fused pass (the add folds into the stats)
+    h = group_norm_act(p["norm2"], h, num_groups=cfg.norm_num_groups,
+                       eps=cfg.norm_eps, act="silu", add=t)
     h = nn.conv2d(p["conv2"], h, padding=1)
     if "conv_shortcut" in p:
         x = nn.conv2d(p["conv_shortcut"], x, padding=0)
@@ -350,7 +351,8 @@ def _transformer2d(
 ) -> jnp.ndarray:
     b, h, w, c = x.shape
     residual = x
-    hidden = nn.group_norm(p["norm"], x, num_groups=cfg.norm_num_groups, eps=1e-6)
+    hidden = group_norm_act(p["norm"], x, num_groups=cfg.norm_num_groups,
+                            eps=1e-6, act="none")
     hidden = nn.linear(p["proj_in"], hidden.reshape(b, h * w, c))
 
     for li, bp in enumerate(p["transformer_blocks"]):
@@ -478,9 +480,9 @@ def apply(
             h = nn.upsample_nearest_2x(h)
             h = nn.conv2d(block["upsamplers"][0]["conv"], h, padding=1)
 
-    h = nn.group_norm(params["conv_norm_out"], h,
-                      num_groups=cfg.norm_num_groups, eps=cfg.norm_eps)
-    h = nn.silu(h)
+    h = group_norm_act(params["conv_norm_out"], h,
+                       num_groups=cfg.norm_num_groups, eps=cfg.norm_eps,
+                       act="silu")
     h = nn.conv2d(params["conv_out"], h, padding=1)
 
     if capture:
