@@ -205,3 +205,26 @@ def _abn_bwd(eps, activation, slope, axis_name, res, gy):
 
 
 abn_train.defvjp(_abn_fwd, _abn_bwd)
+
+
+def abn_train_stats(
+    x: jnp.ndarray,
+    weight: jnp.ndarray,
+    bias: jnp.ndarray,
+    eps: float = 1e-5,
+    activation: str = "leaky_relu",
+    slope: float = 0.01,
+    axis_name: Optional[str] = None,
+):
+    """abn_train + the (stop-gradient) batch moments, for running-stat EMA
+    updates in training loops (the reference BN's momentum tracking,
+    modules/bn.py). XLA CSEs the moment reductions with abn_train's own."""
+    y = abn_train(x, weight, bias, eps, activation, slope, axis_name)
+    xf = jax.lax.stop_gradient(x).astype(jnp.float32)
+    mean = jnp.mean(xf, axis=(0, 1, 2))
+    mean_sq = jnp.mean(xf * xf, axis=(0, 1, 2))
+    if axis_name is not None:
+        mean = jax.lax.pmean(mean, axis_name)
+        mean_sq = jax.lax.pmean(mean_sq, axis_name)
+    var = mean_sq - mean * mean
+    return y, mean, var

@@ -17,12 +17,13 @@ statistics, or abn_train for fine-tuning.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+import dataclasses
+from typing import Any, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 
-from imagdressing_tpu.kernels.fused_bn_act import abn_inference
+from imagdressing_tpu.kernels.fused_bn_act import abn_inference, abn_train_stats
 from imagdressing_tpu.ops import nn
 
 Params = Dict[str, Any]
@@ -32,15 +33,34 @@ NUM_CLASSES_ATR = 18
 NUM_CLASSES_LIP = 20
 
 
-def _abn(p: Params, x: jnp.ndarray, activation: str) -> jnp.ndarray:
-    return abn_inference(
-        x, p["weight"], p["bias"], p["running_mean"], p["running_var"],
-        activation=activation,
+@dataclasses.dataclass
+class BNTrainCtx:
+    """Train-mode batch-norm context: batch statistics (synced over
+    `axis_name` under shard_map — InPlaceABNSync semantics) instead of the
+    folded running stats; each layer's batch moments are collected into
+    `stats` as (bn_param_dict, mean, var) for running-stat EMA updates."""
+
+    axis_name: Optional[str] = None
+    stats: List = dataclasses.field(default_factory=list)
+
+
+def _abn(p: Params, x: jnp.ndarray, activation: str,
+         ctx: Optional[BNTrainCtx] = None) -> jnp.ndarray:
+    if ctx is None:
+        return abn_inference(
+            x, p["weight"], p["bias"], p["running_mean"], p["running_var"],
+            activation=activation,
+        )
+    y, mean, var = abn_train_stats(
+        x, p["weight"], p["bias"], activation=activation,
+        axis_name=ctx.axis_name,
     )
+    ctx.stats.append((p, mean, var))
+    return y
 
 
 def _conv_abn(pc, pb, x, *, stride=1, padding=1, dilation=1,
-              activation="leaky_relu"):
+              activation="leaky_relu", ctx: Optional[BNTrainCtx] = None):
     kernel = pc["kernel"].astype(x.dtype)
     y = jax.lax.conv_general_dilated(
         x, kernel, (stride, stride),
@@ -52,21 +72,23 @@ def _conv_abn(pc, pb, x, *, stride=1, padding=1, dilation=1,
     )
     if "bias" in pc:
         y = y + pc["bias"].astype(y.dtype)
-    return _abn(pb, y, activation)
+    return _abn(pb, y, activation, ctx)
 
 
-def _bottleneck(p: Params, x: jnp.ndarray, *, stride: int, dilation: int) -> jnp.ndarray:
+def _bottleneck(p: Params, x: jnp.ndarray, *, stride: int, dilation: int,
+                ctx: Optional[BNTrainCtx] = None) -> jnp.ndarray:
     out = _conv_abn(p["conv1"], p["bn1"], x, stride=1, padding=0,
-                    activation="none")
+                    activation="none", ctx=ctx)
     out = jax.nn.relu(out)
     out = _conv_abn(p["conv2"], p["bn2"], out, stride=stride,
-                    padding=dilation, dilation=dilation, activation="none")
+                    padding=dilation, dilation=dilation, activation="none",
+                    ctx=ctx)
     out = jax.nn.relu(out)
     out = _conv_abn(p["conv3"], p["bn3"], out, stride=1, padding=0,
-                    activation="none")
+                    activation="none", ctx=ctx)
     if "downsample" in p:
         x = _conv_abn(p["downsample"]["conv"], p["downsample"]["bn"], x,
-                      stride=stride, padding=0, activation="none")
+                      stride=stride, padding=0, activation="none", ctx=ctx)
     return jax.nn.relu(out + x)
 
 
@@ -105,17 +127,24 @@ def _adaptive_avg_pool(x: jnp.ndarray, size: int) -> jnp.ndarray:
     return jnp.stack(rows, axis=1)  # (B, size, size, C)
 
 
-def apply(params: Params, image: jnp.ndarray,
-          num_classes: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+def apply(params: Params, image: jnp.ndarray, num_classes: int,
+          bn_ctx: Optional[BNTrainCtx] = None,
+          ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """image (B,H,W,3) normalized -> (fusion_logits (B,H/4,W/4,C),
     edge_logits). The ONNX wrapper consumes output[0][1] == fusion
-    (parsing_api.onnx_inference)."""
-    x = _conv_abn(params["conv1"], params["bn1"], image, stride=2,
+    (parsing_api.onnx_inference). Pass `bn_ctx` (BNTrainCtx) for train-mode
+    batch-stat (sync) normalization — the fine-tune path
+    (train/parsing_train.py)."""
+    import functools
+
+    _conv_abn_ = functools.partial(_conv_abn, ctx=bn_ctx)
+    _bottleneck_ = functools.partial(_bottleneck, ctx=bn_ctx)
+    x = _conv_abn_(params["conv1"], params["bn1"], image, stride=2,
                   activation="none")
     x = jax.nn.relu(x)
-    x = _conv_abn(params["conv2"], params["bn2"], x, activation="none")
+    x = _conv_abn_(params["conv2"], params["bn2"], x, activation="none")
     x = jax.nn.relu(x)
-    x = _conv_abn(params["conv3"], params["bn3"], x, activation="none")
+    x = _conv_abn_(params["conv3"], params["bn3"], x, activation="none")
     x = jax.nn.relu(x)
     # maxpool 3x3 s2 p1
     x = jax.lax.reduce_window(
@@ -129,7 +158,7 @@ def apply(params: Params, image: jnp.ndarray,
     ):
         layer = params[f"layer{li + 1}"]
         for bi in range(blocks):
-            x = _bottleneck(
+            x = _bottleneck_(
                 layer[bi], x, stride=stride if bi == 0 else 1,
                 dilation=dilation,
             )
@@ -143,10 +172,10 @@ def apply(params: Params, image: jnp.ndarray,
     for si, size in enumerate((1, 2, 3, 6)):
         p = psp["stages"][si]
         pooled = _adaptive_avg_pool(x5, size)
-        pooled = _conv_abn(p["conv"], p["bn"], pooled, padding=0)
+        pooled = _conv_abn_(p["conv"], p["bn"], pooled, padding=0)
         priors.append(_resize_bilinear(pooled, h, w))
     priors.append(x5)
-    ctx = _conv_abn(
+    ctx = _conv_abn_(
         psp["bottleneck"]["conv"], psp["bottleneck"]["bn"],
         jnp.concatenate(priors, axis=-1), padding=1,
     )
@@ -155,19 +184,19 @@ def apply(params: Params, image: jnp.ndarray,
     dec = params["decoder"]
     lh, lw = x2.shape[1:3]
     xt = _resize_bilinear(
-        _conv_abn(dec["conv1"]["conv"], dec["conv1"]["bn"], ctx, padding=0),
+        _conv_abn_(dec["conv1"]["conv"], dec["conv1"]["bn"], ctx, padding=0),
         lh, lw,
     )
-    xl = _conv_abn(dec["conv2"]["conv"], dec["conv2"]["bn"], x2, padding=0)
+    xl = _conv_abn_(dec["conv2"]["conv"], dec["conv2"]["bn"], x2, padding=0)
     xd = jnp.concatenate([xt, xl], axis=-1)
-    xd = _conv_abn(dec["conv3a"]["conv"], dec["conv3a"]["bn"], xd, padding=0)
-    xd = _conv_abn(dec["conv3b"]["conv"], dec["conv3b"]["bn"], xd, padding=0)
+    xd = _conv_abn_(dec["conv3a"]["conv"], dec["conv3a"]["bn"], xd, padding=0)
+    xd = _conv_abn_(dec["conv3b"]["conv"], dec["conv3b"]["bn"], xd, padding=0)
 
     # edge branch
     edge = params["edge"]
-    e1f = _conv_abn(edge["conv1"]["conv"], edge["conv1"]["bn"], x2, padding=0)
-    e2f = _conv_abn(edge["conv2"]["conv"], edge["conv2"]["bn"], x3, padding=0)
-    e3f = _conv_abn(edge["conv3"]["conv"], edge["conv3"]["bn"], x4, padding=0)
+    e1f = _conv_abn_(edge["conv1"]["conv"], edge["conv1"]["bn"], x2, padding=0)
+    e2f = _conv_abn_(edge["conv2"]["conv"], edge["conv2"]["bn"], x3, padding=0)
+    e3f = _conv_abn_(edge["conv3"]["conv"], edge["conv3"]["bn"], x4, padding=0)
     e1 = nn.conv2d(edge["conv4"], e1f, padding=1)
     e2 = nn.conv2d(edge["conv4"], e2f, padding=1)
     e3 = nn.conv2d(edge["conv4"], e3f, padding=1)
@@ -182,7 +211,7 @@ def apply(params: Params, image: jnp.ndarray,
 
     # fusion
     fus = params["fushion"]
-    xf = _conv_abn(fus["conv1"]["conv"], fus["conv1"]["bn"],
+    xf = _conv_abn_(fus["conv1"]["conv"], fus["conv1"]["bn"],
                    jnp.concatenate([xd, edge_fea], axis=-1), padding=0)
     fusion_logits = nn.conv2d(fus["conv2"], xf, padding=0)
     return fusion_logits, edge_logits
