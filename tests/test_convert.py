@@ -21,6 +21,7 @@ from imagdressing_tpu.convert import (  # noqa: E402
     convert_ip_adapter_faceid,
     convert_resampler,
     convert_unet,
+    convert_vae,
 )
 from imagdressing_tpu.models import unet as unet_lib  # noqa: E402
 from imagdressing_tpu.models.conditioning import fold_lora  # noqa: E402
@@ -362,3 +363,93 @@ def test_convert_controlnet():
     assert len(down) == 12
     # zero output convs in the synthetic dict -> zero residuals
     np.testing.assert_allclose(np.asarray(mid_res), 0.0)
+
+
+def _torch_vae_sd_from_params(params, cfg):
+    """Inverse-map our VAE param tree into a diffusers-layout state dict —
+    the round-trip oracle for convert_vae (AutoencoderKL key naming)."""
+    sd = {}
+
+    def put_conv(name, p):
+        sd[f"{name}.weight"] = torch.tensor(
+            np.transpose(np.asarray(p["kernel"]), (3, 2, 0, 1)).copy()
+        )
+        sd[f"{name}.bias"] = torch.tensor(np.asarray(p["bias"]).copy())
+
+    def put_lin(name, p):
+        sd[f"{name}.weight"] = torch.tensor(
+            np.asarray(p["kernel"]).T.copy()
+        )
+        sd[f"{name}.bias"] = torch.tensor(np.asarray(p["bias"]).copy())
+
+    def put_norm(name, p):
+        sd[f"{name}.weight"] = torch.tensor(np.asarray(p["scale"]).copy())
+        sd[f"{name}.bias"] = torch.tensor(np.asarray(p["bias"]).copy())
+
+    def put_resnet(pre, p):
+        put_norm(f"{pre}.norm1", p["norm1"])
+        put_conv(f"{pre}.conv1", p["conv1"])
+        put_norm(f"{pre}.norm2", p["norm2"])
+        put_conv(f"{pre}.conv2", p["conv2"])
+        if "conv_shortcut" in p:
+            put_conv(f"{pre}.conv_shortcut", p["conv_shortcut"])
+
+    def put_attn(pre, p):
+        put_norm(f"{pre}.group_norm", p["group_norm"])
+        for k, tgt in (("to_q", "to_q"), ("to_k", "to_k"),
+                       ("to_v", "to_v"), ("to_out", "to_out.0")):
+            put_lin(f"{pre}.{tgt}", p[k])
+
+    def put_half(side, tree, blocks_key, samplers_key):
+        put_conv(f"{side}.conv_in", tree["conv_in"])
+        for i, block in enumerate(tree[blocks_key]):
+            for j, r in enumerate(block["resnets"]):
+                put_resnet(f"{side}.{blocks_key}.{i}.resnets.{j}", r)
+            if samplers_key in block:
+                put_conv(
+                    f"{side}.{blocks_key}.{i}.{samplers_key}.0.conv",
+                    block[samplers_key][0]["conv"],
+                )
+        put_resnet(f"{side}.mid_block.resnets.0",
+                   tree["mid_block"]["resnets"][0])
+        put_resnet(f"{side}.mid_block.resnets.1",
+                   tree["mid_block"]["resnets"][1])
+        put_attn(f"{side}.mid_block.attentions.0",
+                 tree["mid_block"]["attentions"][0])
+        put_norm(f"{side}.conv_norm_out", tree["conv_norm_out"])
+        put_conv(f"{side}.conv_out", tree["conv_out"])
+
+    put_half("encoder", params["encoder"], "down_blocks", "downsamplers")
+    put_half("decoder", params["decoder"], "up_blocks", "upsamplers")
+    put_conv("quant_conv", params["quant_conv"])
+    put_conv("post_quant_conv", params["post_quant_conv"])
+    return sd
+
+
+def test_convert_vae_roundtrip():
+    """init -> diffusers layout -> convert_vae must reproduce the tree
+    exactly, and the converted params must drive encode/decode."""
+    import jax
+
+    from imagdressing_tpu.core.config import VAEConfig
+    from imagdressing_tpu.models import vae as vae_lib
+
+    cfg = VAEConfig(block_out_channels=(16, 16, 32, 32), norm_num_groups=8)
+    params = vae_lib.init(jax.random.PRNGKey(0), cfg)
+    sd = _torch_vae_sd_from_params(params, cfg)
+    converted = convert_vae(sd, cfg)
+
+    flat1, tree1 = jax.tree.flatten(params)
+    flat2, tree2 = jax.tree.flatten(converted)
+    assert tree1 == tree2
+    for a, b in zip(flat1, flat2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    x = jnp.asarray(
+        np.random.default_rng(0).standard_normal((1, 64, 64, 3)),
+        jnp.float32,
+    )
+    lat = vae_lib.encode_mean(converted, cfg, x)
+    img = vae_lib.decode(converted, cfg, lat)
+    assert lat.shape == (1, 8, 8, 4) and img.shape == (1, 64, 64, 3)
+    assert np.isfinite(np.asarray(img)).all()

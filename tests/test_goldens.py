@@ -35,7 +35,9 @@ def test_compare_fails_on_mismatch(tmp_path):
 
 @pytest.mark.parametrize(
     "golden_path",
-    sorted(glob.glob(os.path.join(GOLDEN_DIR, "*.npz"))) or [None],
+    # ref_*.npz = recorded against the reference (tools/record_reference.py);
+    # other .npz files here are our own seed-fixed regression pins
+    sorted(glob.glob(os.path.join(GOLDEN_DIR, "ref_*.npz"))) or [None],
 )
 def test_reference_goldens(golden_path):
     """Replays recorded reference tensors through our stack. Requires the
@@ -45,3 +47,43 @@ def test_reference_goldens(golden_path):
         pytest.skip("no goldens recorded (tests/goldens/*.npz absent)")
     pytest.skip(f"golden {golden_path} present but checkpoint replay is "
                 "environment-dependent; run tools/record_reference.py compare")
+
+
+def test_tiny_config_seed_fixed_regression():
+    """Seed-fixed end-to-end regression: the tiny basic pipeline's output is
+    pinned in tests/goldens/tiny_basic_v1.npz (fp16). Any unintentional
+    semantic change to encoders, UNet, conditioning, scheduler or VAE shows
+    up here; intentional changes regenerate the golden (recipe in the file's
+    git history)."""
+    import dataclasses
+    import os
+
+    import jax
+
+    from imagdressing_tpu.core.config import PRESETS
+    from imagdressing_tpu.pipelines.dressing import (
+        DressingModels,
+        DressingPipeline,
+    )
+
+    path = os.path.join(os.path.dirname(__file__), "goldens",
+                        "tiny_basic_v1.npz")
+    want = np.load(path)["output"].astype(np.float32)
+
+    models = DressingModels.init_random(jax.random.PRNGKey(0), small=True)
+    preset = dataclasses.replace(
+        PRESETS["basic"], height=64, width=64, num_inference_steps=4
+    )
+    pipe = DressingPipeline(models, preset)
+    rng = np.random.default_rng(1234)
+    out = pipe(
+        prompt_ids=rng.integers(0, 255, (1, 77)),
+        negative_prompt_ids=rng.integers(0, 255, (1, 77)),
+        ref_image=rng.standard_normal((1, 64, 64, 3))
+        .astype(np.float32).clip(-1, 1),
+        ref_clip_image=rng.standard_normal((1, 56, 56, 3))
+        .astype(np.float32),
+        seed=99,
+    )
+    # fp16 storage quantum + cross-version XLA drift allowance
+    np.testing.assert_allclose(out, want, atol=2e-3)
