@@ -111,15 +111,18 @@ def main(argv=None):
         image_root=args.data_root_path,
         seed=cfg.seed,
     )
+    # each process loads its 1/process_count of the global batch; the local
+    # arrays are assembled into mesh-sharded global jax.Arrays below
     it = data_iterator(
-        dataset, global_batch,
+        dataset, global_batch // jax.process_count(),
         num_workers=args.dataloader_num_workers, seed=cfg.seed,
         process_index=jax.process_index(), process_count=jax.process_count(),
     )
 
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    batch_sharding = NamedSharding(mesh, P(mesh_lib.DATA_AXIS))
+    from imagdressing_tpu.train.data import shard_host_batch
+
     rng = jax.device_put(jax.random.PRNGKey(cfg.seed), NamedSharding(mesh, P()))
 
     # metrics sink (replaces the reference's tensorboard/wandb trackers,
@@ -133,8 +136,7 @@ def main(argv=None):
     t_data = t_step = 0.0
     t0 = time.perf_counter()
     for step in range(start, cfg.num_train_steps):
-        batch = next(it)
-        batch = jax.device_put(batch, batch_sharding)
+        batch = shard_host_batch(mesh, next(it))
         t1 = time.perf_counter()
         with mesh:
             state, metrics = jitted(state, frozen, batch, rng)

@@ -222,3 +222,26 @@ def data_iterator(
     threading.Thread(target=producer, daemon=True).start()
     while True:
         yield out.get()
+
+
+def shard_host_batch(mesh, host_batch: Dict[str, np.ndarray]):
+    """Assemble each process's local batch into global, mesh-sharded arrays.
+
+    Multi-host input path: every process feeds its own `data_iterator`
+    (sharded by process_index above) and this maps the local arrays onto the
+    global (data,)-sharded jax.Arrays via
+    jax.make_array_from_process_local_data — the TPU equivalent of the
+    reference's per-rank DataLoader + DeepSpeed gradient averaging. On a
+    single host it reduces to a plain device_put with the batch sharding.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from imagdressing_tpu.core import mesh as mesh_lib
+
+    sharding = NamedSharding(mesh, P(mesh_lib.DATA_AXIS))
+    import jax
+
+    return {
+        k: jax.make_array_from_process_local_data(sharding, v)
+        for k, v in host_batch.items()
+    }

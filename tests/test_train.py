@@ -153,3 +153,24 @@ def test_zero2_sharding_specs(cpu_devices):
     assert specs["a"].spec[0] == "data"
     assert all(s is None for s in specs["b"].spec)
     assert all(s is None for s in specs["c"].spec)
+
+
+def test_shard_host_batch_single_host(setup, cpu_devices):
+    """shard_host_batch must produce (data,)-sharded global arrays whose
+    content round-trips the host batch (single-host degenerate case of the
+    multi-host jax.make_array_from_process_local_data path)."""
+    from imagdressing_tpu.train.data import shard_host_batch
+
+    mesh = mesh_lib.make_mesh(devices=cpu_devices)
+    rng = np.random.default_rng(0)
+    host = {
+        "person_image": rng.standard_normal((8, 16, 16, 3)).astype(np.float32),
+        "text_ids": rng.integers(0, 255, (8, 77)).astype(np.int32),
+    }
+    global_batch = shard_host_batch(mesh, host)
+    for k, v in global_batch.items():
+        assert v.shape == host[k].shape
+        assert v.sharding.spec[0] == mesh_lib.DATA_AXIS
+        np.testing.assert_array_equal(np.asarray(v), host[k])
+        assert len(v.addressable_shards) == 8
+        assert v.addressable_shards[0].data.shape[0] == 1
