@@ -67,8 +67,11 @@ def prepare_person(path: str, height: int, width: int) -> np.ndarray:
     return (np.asarray(img, np.float32) / 127.5 - 1.0)[None]
 
 
-def to_pil(images01: np.ndarray) -> List[Image.Image]:
+def to_pil(images: np.ndarray) -> List[Image.Image]:
+    """float [0,1] or uint8 [0,255] batch -> PIL images."""
+    if images.dtype == np.uint8:
+        return [Image.fromarray(im) for im in images]
     return [
         Image.fromarray((np.clip(im, 0, 1) * 255).astype(np.uint8))
-        for im in images01
+        for im in images
     ]

@@ -148,13 +148,13 @@ class InferenceWorker:
                     r.event.set()
 
 
-def _png_b64(img01: np.ndarray) -> str:
+def _png_b64(img: np.ndarray) -> str:
     from PIL import Image
 
+    if img.dtype != np.uint8:
+        img = (np.clip(img, 0, 1) * 255).astype(np.uint8)
     buf = io.BytesIO()
-    Image.fromarray((np.clip(img01, 0, 1) * 255).astype(np.uint8)).save(
-        buf, format="PNG"
-    )
+    Image.fromarray(img).save(buf, format="PNG")
     return base64.b64encode(buf.getvalue()).decode()
 
 

@@ -373,6 +373,14 @@ def _flash_forward_pallas(
     else:
         kf, vf = fold(k), fold(v)
 
+    # Head-dim-aware block budget: the fp32 acc/out scratch scales with
+    # block*D, and wide single-head attention (the VAE mid-block, D=512)
+    # blows the 16 MB scoped-VMEM limit at the 2048/1024 blocks tuned for the
+    # UNet's D=40. Keep block*D under ~2M fp32 elements per buffer.
+    if d > 128:
+        cap = max(128, (2048 * 128) // d)
+        block_q = min(block_q, cap)
+        block_k = min(block_k, cap)
     bq = _pick_block(sq, block_q)
     bk = _pick_block(skv, block_k)
     assert bq is not None and bk is not None, (sq, skv, block_q, block_k)

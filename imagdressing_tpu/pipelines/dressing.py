@@ -194,12 +194,18 @@ class DressingPipeline:
             schedule=self.schedule,
         )
 
-        # positional static arg: pjit rejects kwargs when in_shardings is set
-        def gen_pos(params, inputs, scalars, num_inference_steps):
-            return gen(params, inputs, scalars,
-                       num_inference_steps=num_inference_steps)
+        # positional static args: pjit rejects kwargs when in_shardings is set
+        def gen_pos(params, inputs, scalars, num_inference_steps,
+                    output_uint8):
+            out = gen(params, inputs, scalars,
+                      num_inference_steps=num_inference_steps)
+            if output_uint8:
+                # serving transport: 4x smaller host transfer, same rounding
+                # a PNG/JPEG encoder would apply anyway
+                out = jnp.round(out * 255.0).astype(jnp.uint8)
+            return out
 
-        self._jitted = jax.jit(gen_pos, static_argnums=(3,), **jit_kwargs)
+        self._jitted = jax.jit(gen_pos, static_argnums=(3, 4), **jit_kwargs)
 
     def __call__(
         self,
@@ -218,8 +224,10 @@ class DressingPipeline:
         face_clip_image: Optional[np.ndarray] = None,  # (B,224,224,3)
         person_image: Optional[np.ndarray] = None,  # (B,H,W,3) in [-1,1] inpaint
         mask_image: Optional[np.ndarray] = None,  # (B,H,W,1) {0,1} inpaint
+        output_uint8: bool = False,
     ) -> np.ndarray:
-        """Returns generated images (B, H, W, 3) in [0, 1]."""
+        """Returns generated images (B, H, W, 3) in [0, 1] float32, or uint8
+        [0, 255] with `output_uint8=True` (smaller host transfer)."""
         p = self.preset
         steps = num_inference_steps or p.num_inference_steps
         b_user = ref_image.shape[0]
@@ -271,7 +279,9 @@ class DressingPipeline:
             "person_image": None if person_image is None else jnp.asarray(person_image),
             "mask_image": None if mask_image is None else jnp.asarray(mask_image),
         }
-        out = self._jitted(self.models.params, inputs, scalars, steps)
+        out = self._jitted(
+            self.models.params, inputs, scalars, steps, output_uint8
+        )
         return np.asarray(out)[:b_user]
 
 

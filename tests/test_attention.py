@@ -135,3 +135,25 @@ def test_flash_kernel_interpret_mode():
     want = np_sdpa4(q, k, v) + 0.5 * np_sdpa4(q, kr, vr)
     np.testing.assert_allclose(np.asarray(got), want, atol=2e-3)
     np.testing.assert_allclose(np.asarray(got_single), np_sdpa4(q, k, v), atol=2e-3)
+
+
+def test_flash_kernel_wide_head_dim_interpret():
+    """D=512 single-head (the VAE mid-block shape): the head-dim-aware block
+    cap must kick in and the kernel must still match XLA SDPA."""
+    import imagdressing_tpu.kernels.flash_attention as fa
+    from imagdressing_tpu.ops.attention import _xla_sdpa
+
+    rng = np.random.default_rng(7)
+    B, S, H, D = 1, 256, 1, 512
+    q, k, v = (
+        rng.standard_normal((B, S, H, D)).astype(np.float32) for _ in range(3)
+    )
+    fa.INTERPRET = True
+    try:
+        got = fa.flash_attention(jnp.asarray(q), jnp.asarray(k),
+                                 jnp.asarray(v))
+    finally:
+        fa.INTERPRET = False
+    want = _xla_sdpa(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=5e-3, rtol=1e-3)

@@ -252,3 +252,11 @@ def test_cfg_dropout_statistics(tmp_path):
     # ~5% image-only + ~5% both = ~10% zeroed clip; ~5%+5% = ~10% empty text
     assert 15 <= n_img_drop <= 70
     assert 15 <= n_txt_drop <= 70
+
+
+def test_output_uint8_matches_float(basic_pipe):
+    kw = _inputs()
+    f = basic_pipe(**kw, seed=3)
+    u = basic_pipe(**kw, seed=3, output_uint8=True)
+    assert u.dtype == np.uint8
+    np.testing.assert_array_equal(u, np.round(f * 255.0).astype(np.uint8))
