@@ -154,3 +154,48 @@ def test_edges_from_labels():
     lab[2:, :] = 3
     e = edges_from_labels(lab)
     assert e[2].sum() == 4 and e[1].sum() == 0 and e[3].sum() == 0
+
+
+def test_parsing_cli_train_and_eval(tmp_path):
+    """End-to-end CLI smoke on a tiny synthetic dataset: 2 train steps save
+    params, eval restores them and reports a finite mIoU (with flip +
+    multi-scale averaging) and writes prediction PNGs."""
+    import cv2
+
+    from imagdressing_tpu.apps.parsing_cli import main as parsing_main
+
+    (tmp_path / "images").mkdir()
+    (tmp_path / "labels").mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(2):
+        cv2.imwrite(
+            str(tmp_path / "images" / f"s{i}.jpg"),
+            rng.integers(0, 255, (80, 64, 3), dtype=np.uint8),
+        )
+        cv2.imwrite(
+            str(tmp_path / "labels" / f"s{i}.png"),
+            rng.integers(0, NUM_CLASSES, (80, 64), dtype=np.uint8),
+        )
+    out = tmp_path / "log"
+    parsing_main([
+        "train", "--image_dir", str(tmp_path / "images"),
+        "--label_dir", str(tmp_path / "labels"),
+        "--out_dir", str(out), "--num_classes", str(NUM_CLASSES),
+        "--input_size", "64", "--steps", "2", "--log_every", "1",
+    ])
+    assert (out / "params.npz").exists()
+    pred_dir = tmp_path / "preds"
+    miou = None
+    from imagdressing_tpu.apps import parsing_cli
+
+    args = parsing_cli.build_argparser().parse_args([
+        "eval", "--image_dir", str(tmp_path / "images"),
+        "--label_dir", str(tmp_path / "labels"),
+        "--restore", str(out / "params.npz"),
+        "--num_classes", str(NUM_CLASSES), "--input_size", "64",
+        "--flip", "--scales", "0.75,1.0",
+        "--save_dir", str(pred_dir),
+    ])
+    miou = parsing_cli.run_eval(args)
+    assert 0.0 <= miou <= 1.0
+    assert sorted(p.name for p in pred_dir.iterdir()) == ["s0.png", "s1.png"]
