@@ -74,7 +74,9 @@ def main(batch_size: int = 1, steps: int = 5, height: int = 640,
         step=jnp.zeros((), jnp.int32), params=trainable,
         opt_state=tx.init(trainable),
     )
-    step_fn = jax.jit(make_train_step(models, cfg, tx))
+    # donate the state: without it every step allocates a fresh ~multi-GB
+    # param+moment set (and the tunnel relay appears to round-trip it)
+    step_fn = jax.jit(make_train_step(models, cfg, tx), donate_argnums=(0,))
 
     rng = np.random.default_rng(0)
     batch = {
