@@ -89,9 +89,17 @@ def main(argv=None):
     tokenizer = load_tokenizer(os.path.join(args.base_dir, "tokenizer"))
     mesh = None
     if args.data_parallel != 1:
+        import jax
+
         from imagdressing_tpu.core import mesh as mesh_lib
 
-        mesh = mesh_lib.make_mesh(data=args.data_parallel, model=1)
+        devices = jax.devices()
+        if args.data_parallel > len(devices):
+            # virtual-device dev runs (8 CPU devices); real pods have chips
+            devices = jax.devices("cpu")
+        mesh = mesh_lib.make_mesh(data=args.data_parallel, model=1,
+                                  devices=devices[: max(args.data_parallel, 1)]
+                                  if args.data_parallel > 0 else devices)
         args.batch_size = max(args.batch_size, mesh.shape[mesh_lib.DATA_AXIS])
     pipe = DressingPipeline(models, preset, mesh=mesh)
 

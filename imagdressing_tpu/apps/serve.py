@@ -372,9 +372,18 @@ def main(argv=None):
     )
     mesh = None
     if args.data_parallel != 1:
+        import jax
+
         from imagdressing_tpu.core import mesh as mesh_lib
 
-        mesh = mesh_lib.make_mesh(data=args.data_parallel, model=1)
+        devices = jax.devices()
+        if args.data_parallel > len(devices):
+            devices = jax.devices("cpu")
+        mesh = mesh_lib.make_mesh(
+            data=args.data_parallel, model=1,
+            devices=devices[: max(args.data_parallel, 1)]
+            if args.data_parallel > 0 else devices,
+        )
     pipe = DressingPipeline(models, preset, mesh=mesh)
     tokenizer = load_tokenizer(os.path.join(args.base_dir, "tokenizer"))
     post = load_post_process(args.post_process) if args.post_process else None

@@ -67,3 +67,23 @@ def test_folder_batching_cli(stubbed, tmp_path):
         "--num_inference_steps", "2",
     ])
     assert sorted(os.listdir(out_dir)) == ["a.jpg", "b.jpg", "c.jpg"]
+
+
+def test_folder_cli_data_parallel(stubbed, tmp_path):
+    """--data_parallel 2: the folder loop runs mesh-sharded generation (the
+    reference *_folder.py loops serially on one GPU)."""
+    cloth_dir = tmp_path / "garments"
+    cloth_dir.mkdir()
+    for name in ("a.jpg", "b.jpg", "c.jpg"):
+        _write_cloth(cloth_dir / name)
+    out_dir = tmp_path / "out"
+    dress.main([
+        "--preset", "basic",
+        "--cloth_dir", str(cloth_dir),
+        "--data_parallel", "2",
+        "--output_path", str(out_dir),
+        "--height", "64", "--width", "64",
+        "--num_inference_steps", "2",
+    ])
+    # 3 garments on a 2-way mesh: batch of 2 + ragged batch of 1 (padded)
+    assert sorted(os.listdir(out_dir)) == ["a.jpg", "b.jpg", "c.jpg"]
