@@ -18,8 +18,6 @@ CAMI-S = pose-overlap + face-cosine + CLIP text-image similarity
 
 from __future__ import annotations
 
-from typing import Sequence
-
 import numpy as np
 from scipy.ndimage import uniform_filter
 
