@@ -267,15 +267,37 @@ def _parse_multipart(raw: bytes, content_type: str):
 
 
 def load_post_process(spec: str):
-    """Resolve a 'module:function' spec to the post-process callable."""
+    """Resolve a post-process spec to a `(img01, payload) -> img01` callable.
+
+    Accepted forms:
+      * ``module:function`` — any importable callable;
+      * ``face_fusion:<facenet.pth>`` — the built-in native face fusion
+        (imagdressing_tpu.postprocess.face_fusion) with the OpenPose FaceNet
+        landmark model at that path; requests carrying a ``fusion_face``
+        image (base64 PNG in the JSON API) get the user's face fused into
+        the result — the reference's modelscope image_face_fusion behavior
+        (/root/reference/app.py:244-252).
+    """
     import importlib
 
-    mod_name, _, fn_name = spec.partition(":")
-    if not fn_name:
+    head, _, rest = spec.partition(":")
+    if head == "face_fusion":
+        if not rest:
+            raise ValueError(
+                "--post_process face_fusion needs the FaceNet weight path: "
+                "face_fusion:<body_pose-style facenet .pth>"
+            )
+        from imagdressing_tpu.postprocess.face_fusion import (
+            make_post_process, openpose_landmark_fn)
+        from imagdressing_tpu.preprocess.openpose.face import Face
+
+        face = Face.from_torch(rest)
+        return make_post_process(openpose_landmark_fn(face.params))
+    if not rest:
         raise ValueError(
             f"--post_process expects 'module:function', got {spec!r}"
         )
-    return getattr(importlib.import_module(mod_name), fn_name)
+    return getattr(importlib.import_module(head), rest)
 
 
 def run_gradio(worker: InferenceWorker, preset, port: int):

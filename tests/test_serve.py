@@ -123,6 +123,48 @@ def test_load_post_process_spec():
         load_post_process("os.path.join")
 
 
+def test_load_post_process_face_fusion_builtin():
+    from imagdressing_tpu.apps.serve import load_post_process
+
+    with pytest.raises(ValueError, match="FaceNet weight path"):
+        load_post_process("face_fusion")
+
+
+def test_worker_face_fusion_end_to_end():
+    """The built-in face-fusion post-process fuses payload['fusion_face']
+    into the served image (reference app.py:244-252 capability)."""
+    from imagdressing_tpu.postprocess.face_fusion import make_post_process
+
+    models = DressingModels.init_random(jax.random.PRNGKey(0), small=True)
+    preset = dataclasses.replace(
+        PRESETS["basic"], height=64, width=64, num_inference_steps=2
+    )
+    pipe = DressingPipeline(models, preset)
+    lm = np.array([[24, 24], [40, 24], [40, 40], [24, 40], [32, 20]],
+                  np.float32)
+    post = make_post_process(lambda img: lm, color_match=False)
+    plain = InferenceWorker(pipe, HashTokenizer(), max_batch=1)
+    hooked = InferenceWorker(
+        pipe, HashTokenizer(), max_batch=1, post_process=post
+    )
+    rng = np.random.default_rng(0)
+    payload = {
+        "prompt": "p",
+        "seed": 1,
+        "ref_image": rng.standard_normal((1, 64, 64, 3))
+        .astype(np.float32).clip(-1, 1),
+        "ref_clip_image": rng.standard_normal((1, 56, 56, 3))
+        .astype(np.float32),
+        "fusion_face": np.full((48, 48, 3), 1.0, np.float32),
+    }
+    a = plain.submit(dict(payload))
+    b = hooked.submit(dict(payload))
+    assert "error" not in a and "error" not in b
+    # center comes from the (white) fused face; corners untouched
+    assert b["image"][32, 32].mean() > 0.8
+    np.testing.assert_allclose(b["image"][2, 2], a["image"][2, 2], atol=1e-5)
+
+
 def test_gradio_ui_clear_error_when_missing():
     from imagdressing_tpu.apps.serve import run_gradio
 
