@@ -57,8 +57,9 @@ def sample_balanced(
     *,
     num_samples: int,
     positive_fraction: float,
-) -> jnp.ndarray:
-    """-> weights (R,) float {0,1}: ≤ num_samples slots on, positives capped
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """-> (selected (R,), positive (R,)) float {0,1} weight vectors:
+    ≤ num_samples slots on, positives capped
     at num_samples*positive_fraction (detectron2 subsample_labels). Static:
     fixed top-k draws from randomized priorities; short categories simply
     light fewer slots (the loss normalizes by the on count)."""
