@@ -402,12 +402,18 @@ def _flash_forward_pallas(
 
 
 def _pick_block(s: int, preferred: int) -> Optional[int]:
-    """Largest power-of-two block <= preferred that divides s (>= 128)."""
-    b = preferred
+    """Largest multiple-of-128 block <= preferred that divides s.
+
+    Multiples of 128 (not just powers of two) matter for SD1.5's non-pow2
+    sequence lengths: 1280 = 2^8*5 caps at 256 under a pow2 rule but admits
+    640, and 5120 admits 1280 — 2.5x bigger MXU work per kernel
+    invocation."""
+    b = min(preferred, s)
+    b -= b % 128
     while b >= 128:
         if s % b == 0:
             return b
-        b //= 2
+        b -= 128
     return None
 
 
