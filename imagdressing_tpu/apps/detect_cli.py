@@ -120,7 +120,8 @@ def run_train(args) -> None:
     rng = np.random.default_rng(args.seed)
     it = data.batches(args.batch_size, rng=rng)
     for s in range(args.steps):
-        batch = {k: v for k, v in next(it).items() if k != "image_id"}
+        batch = {k: v for k, v in next(it).items()
+                 if k in ("image", "gt_boxes", "gt_valid", "gt_masks")}
         batch = {k: jnp.asarray(v) for k, v in batch.items()}
         if shardings is not None:
             batch = jax.device_put(batch, shardings)
@@ -153,10 +154,9 @@ def run_infer(args) -> Dict[str, Any]:
             score_threshold=args.score_threshold,
             nms_threshold=args.nms_threshold)
         det = jax.tree.map(np.asarray, det)
-        # map boxes back to the original resolution before pasting
+        # undo the letterbox scale before pasting into the original frame
         h0, w0 = info["height"], info["width"]
-        det["boxes"] = det["boxes"] * np.array(
-            [w0 / args.image_size, h0 / args.image_size] * 2, np.float32)
+        det["boxes"] = det["boxes"] / float(ex["scale"])
         out[info["file_name"]] = det_infer.to_instances(det, 0, h0, w0)
     np.save(args.out, out, allow_pickle=True)
     print("wrote", args.out, f"({len(out)} images)")

@@ -83,10 +83,14 @@ class CocoDetectionData:
             raise FileNotFoundError(path)
         h0, w0 = bgr.shape[:2]
         s = self.image_size
-        image = cv2.resize(bgr[..., ::-1], (s, s),
-                           interpolation=cv2.INTER_LINEAR)
-        image = image.astype(np.float32) / 255.0
-        sx, sy = s / w0, s / h0
+        # aspect-preserving letterbox (detectron2 ResizeShortestEdge keeps
+        # aspect too; top-left placement keeps the box mapping a pure scale)
+        scale = min(s / w0, s / h0)
+        rw, rh = max(1, int(round(w0 * scale))), max(1, int(round(h0 * scale)))
+        resized = cv2.resize(bgr[..., ::-1], (rw, rh),
+                             interpolation=cv2.INTER_LINEAR)
+        image = np.zeros((s, s, 3), np.float32)
+        image[:rh, :rw] = resized.astype(np.float32) / 255.0
 
         g = self.max_gt
         boxes = np.zeros((g, 4), np.float32)
@@ -94,13 +98,15 @@ class CocoDetectionData:
         masks = np.zeros((g, s, s), np.float32)
         for k, ann in enumerate(self.anns_by_image[image_id][:g]):
             x, y, bw, bh = ann["bbox"]
-            boxes[k] = [x * sx, y * sy, (x + bw) * sx, (y + bh) * sy]
+            boxes[k] = np.array([x, y, x + bw, y + bh]) * scale
             valid[k] = True
             m = annotation_mask(ann, h0, w0)
-            masks[k] = cv2.resize(m.astype(np.float32), (s, s),
-                                  interpolation=cv2.INTER_NEAREST)
+            masks[k, :rh, :rw] = cv2.resize(
+                m.astype(np.float32), (rw, rh),
+                interpolation=cv2.INTER_NEAREST)
         return {"image": image, "gt_boxes": boxes, "gt_valid": valid,
-                "gt_masks": masks, "image_id": np.int32(image_id)}
+                "gt_masks": masks, "image_id": np.int32(image_id),
+                "scale": np.float32(scale)}
 
     def batches(self, batch_size: int, *,
                 rng: Optional[np.random.Generator] = None,

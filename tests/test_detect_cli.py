@@ -81,6 +81,32 @@ def test_coco_detection_data_shapes(tmp_path):
     assert batch["image"].shape == (2, 64, 64, 3)
 
 
+def test_letterbox_preserves_aspect(tmp_path):
+    import cv2
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    img = np.zeros((32, 128, 3), np.uint8)  # wide image
+    img[8:24, 40:80] = 200
+    cv2.imwrite(str(img_dir / "wide.png"), img)
+    mask = np.zeros((32, 128), np.uint8)
+    mask[8:24, 40:80] = 1
+    coco = {"images": [create_image_info(1, "wide.png", (128, 32))],
+            "annotations": [create_annotation_info(
+                1, 1, {"id": 1, "is_crowd": 0}, mask)],
+            "categories": [{"id": 1, "name": "person"}]}
+    ann = tmp_path / "a.json"
+    ann.write_text(json.dumps(coco))
+    data = CocoDetectionData(str(ann), str(img_dir), max_gt=2, image_size=64)
+    ex = data.load_example(1)
+    assert ex["scale"] == 0.5
+    # content occupies the top 16 rows; below is padding
+    assert ex["image"][:16].max() > 0.5 and ex["image"][16:].max() == 0.0
+    # box scaled uniformly: 40..80 -> 20..40, 8..24 -> 4..12
+    np.testing.assert_allclose(ex["gt_boxes"][0], [20, 4, 40, 12])
+    assert ex["gt_masks"][0, 6, 30] == 1.0 and ex["gt_masks"][0, 20, 30] == 0
+
+
 def test_detect_cli_train_infer_make_crop(tmp_path):
     from imagdressing_tpu.apps.detect_cli import main
     from imagdressing_tpu.tools import make_crop
