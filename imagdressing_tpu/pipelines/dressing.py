@@ -171,12 +171,26 @@ class DressingPipeline:
             repl = mesh_lib.replicated(mesh)
             bsh = mesh_lib.batch_sharding(mesh)
             self._data_size = mesh.shape[mesh_lib.DATA_AXIS]
+            if mesh.shape[mesh_lib.MODEL_AXIS] > 1:
+                # tensor-parallel serving: both UNet roles column/row-split
+                # over the model axis (core/tp.py rules), everything else
+                # replicated; XLA inserts the all-gathers over ICI.
+                from imagdressing_tpu.core import tp
+
+                param_shardings = {
+                    k: (tp.unet_param_specs(v, mesh)
+                        if k in ("unet", "ref_unet")
+                        else jax.tree.map(lambda _: repl, v))
+                    for k, v in models.params.items()
+                }
+            else:
+                param_shardings = repl  # prefix pytree: one sharding for all
             models = dataclasses.replace(
-                models, params=jax.device_put(models.params, repl)
+                models, params=jax.device_put(models.params, param_shardings)
             )
             # prefix pytrees: one sharding per argument covers every leaf
             jit_kwargs.update(
-                in_shardings=(repl, bsh, repl), out_shardings=bsh
+                in_shardings=(param_shardings, bsh, repl), out_shardings=bsh
             )
         else:
             self._data_size = 1
