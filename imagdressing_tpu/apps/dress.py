@@ -53,6 +53,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--data_parallel", type=int, default=1,
                    help="shard the batch across this many chips (-1 = all "
                         "devices); one garment per chip on a v5e-8 pod slice")
+    p.add_argument("--tensor_parallel", type=int, default=1,
+                   help="split the UNet weights across this many chips "
+                        "(core/tp.py specs) — batch-1 latency scaling")
     p.add_argument("--sampler", default=None,
                    choices=[None, "ddim", "unipc", "dpm2m"])
     return p
@@ -88,18 +91,21 @@ def main(argv=None):
     )
     tokenizer = load_tokenizer(os.path.join(args.base_dir, "tokenizer"))
     mesh = None
-    if args.data_parallel != 1:
+    if args.data_parallel != 1 or args.tensor_parallel != 1:
         import jax
 
         from imagdressing_tpu.core import mesh as mesh_lib
 
         devices = jax.devices()
-        if args.data_parallel > len(devices):
+        tp_n = max(args.tensor_parallel, 1)
+        need = max(args.data_parallel, 1) * tp_n
+        if need > len(devices):
             # virtual-device dev runs (8 CPU devices); real pods have chips
             devices = jax.devices("cpu")
-        mesh = mesh_lib.make_mesh(data=args.data_parallel, model=1,
-                                  devices=devices[: max(args.data_parallel, 1)]
-                                  if args.data_parallel > 0 else devices)
+        dp = (args.data_parallel if args.data_parallel > 0
+              else len(devices) // tp_n)
+        mesh = mesh_lib.make_mesh(data=dp, model=tp_n,
+                                  devices=devices[: dp * tp_n])
         args.batch_size = max(args.batch_size, mesh.shape[mesh_lib.DATA_AXIS])
     pipe = DressingPipeline(models, preset, mesh=mesh)
 

@@ -377,6 +377,9 @@ def main(argv=None):
     p.add_argument("--data_parallel", type=int, default=1,
                    help="shard request batches across this many chips "
                         "(-1 = all devices)")
+    p.add_argument("--tensor_parallel", type=int, default=1,
+                   help="split the UNet weights across this many chips "
+                        "(batch-1 latency scaling)")
     args = p.parse_args(argv)
 
     import os
@@ -393,18 +396,19 @@ def main(argv=None):
         model_ckpt=args.model_ckpt,
     )
     mesh = None
-    if args.data_parallel != 1:
+    if args.data_parallel != 1 or args.tensor_parallel != 1:
         import jax
 
         from imagdressing_tpu.core import mesh as mesh_lib
 
         devices = jax.devices()
-        if args.data_parallel > len(devices):
+        tp_n = max(args.tensor_parallel, 1)
+        if max(args.data_parallel, 1) * tp_n > len(devices):
             devices = jax.devices("cpu")
+        dp = (args.data_parallel if args.data_parallel > 0
+              else len(devices) // tp_n)
         mesh = mesh_lib.make_mesh(
-            data=args.data_parallel, model=1,
-            devices=devices[: max(args.data_parallel, 1)]
-            if args.data_parallel > 0 else devices,
+            data=dp, model=tp_n, devices=devices[: dp * tp_n],
         )
     pipe = DressingPipeline(models, preset, mesh=mesh)
     tokenizer = load_tokenizer(os.path.join(args.base_dir, "tokenizer"))

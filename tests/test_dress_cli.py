@@ -87,3 +87,20 @@ def test_folder_cli_data_parallel(stubbed, tmp_path):
     ])
     # 3 garments on a 2-way mesh: batch of 2 + ragged batch of 1 (padded)
     assert sorted(os.listdir(out_dir)) == ["a.jpg", "b.jpg", "c.jpg"]
+
+
+def test_cli_tensor_parallel(stubbed, tmp_path):
+    """--tensor_parallel 2: UNet weights split over the model axis."""
+    cloth = tmp_path / "shirt.jpg"
+    _write_cloth(cloth)
+    out_dir = tmp_path / "out"
+    dress.main([
+        "--preset", "basic",
+        "--cloth_path", str(cloth),
+        "--tensor_parallel", "2",
+        "--output_path", str(out_dir),
+        "--height", "64", "--width", "64",
+        "--num_inference_steps", "2",
+        "--seed", "3",
+    ])
+    assert Image.open(out_dir / "shirt.jpg").size == (128, 64)
