@@ -89,8 +89,8 @@ def test_inverse_recompute_gradients(activation):
 def test_sync_abn_matches_global_batch(cpu_devices):
     """InPlaceABNSync semantics: per-device ABN with pmean'd stats over the
     data axis == single-device ABN over the concatenated batch."""
-    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
+    from jax.sharding import Mesh, PartitionSpec as P
 
     rng = np.random.default_rng(3)
     x = jnp.asarray(rng.standard_normal((4, 2, 2, 8)).astype(np.float32))
