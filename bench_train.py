@@ -6,12 +6,13 @@ step (VAE encode x2 + CLIP text/vision + garment capture + UNet + backward +
 AdamW) at the same per-device resolution in bf16.
 
 The axon-tunneled dev chip adds a large RESOLUTION-INDEPENDENT per-call
-overhead (~30 s/step naive loop — the relay appears to round-trip state
-buffers per call). The headline number therefore comes from CHAINED timing:
-K optimizer steps inside one jitted lax.scan, per-step cost =
-(t_scanK - t_scan1)/(K-1), which cancels the per-call transport entirely
-and measures pure on-chip compute. The naive per-call figure is kept in
-the JSON as `percall_s_per_step` for transparency.
+overhead (~60 s — the relay round-trips the multi-GB state per call, with
+seconds of jitter, so even 30 steps of compute vanish inside it). The
+headline number therefore comes from the DEVICE TIMELINE: K optimizer steps
+run inside one jitted lax.scan under jax.profiler, and the program's own
+on-chip duration (transfer-immune) divided by K is reported as
+`chained_onchip_s_per_step`. The naive per-call wall figure is kept as
+`percall_s_per_step` for transparency.
 
 Prints one JSON line: {"metric": f"train_step_{width}x{height}", "value": seconds,
 "unit": "s/step", "images_per_sec_per_chip": ..., "chained_onchip_s_per_step": ...}.
@@ -26,7 +27,55 @@ import time
 import numpy as np
 
 
-def main(batch_size: int = 1, steps: int = 5, height: int = 640,
+def _profile_device_seconds(run_once, program_prefix: str):
+    """Run `run_once()` under jax.profiler and return the device-timeline
+    duration (seconds) of the longest program whose name starts with
+    `program_prefix`, or None if the trace lacks device events."""
+    import glob
+    import gzip
+    import json as js
+    import tempfile
+
+    import jax
+
+    with tempfile.TemporaryDirectory() as td:
+        jax.profiler.start_trace(td)
+        run_once()
+        jax.profiler.stop_trace()
+        paths = glob.glob(os.path.join(td, "**", "*.trace.json.gz"),
+                          recursive=True)
+        if not paths:
+            return None
+        with gzip.open(paths[0]) as f:
+            events = js.load(f)["traceEvents"]
+    pids = {e["pid"]: e["args"].get("name", "") for e in events
+            if e.get("ph") == "M" and e.get("name") == "process_name"}
+    matched = [e for e in events
+               if e.get("ph") == "X"
+               and str(pids.get(e.get("pid"), "")).startswith("/device:")
+               and e["name"].startswith(program_prefix)]
+    if os.environ.get("BENCH_TRAIN_TRACE_DEBUG"):
+        for e in matched:
+            print("TRACE match:", pids.get(e["pid"]), e["name"][:60],
+                  "dur_us=", e.get("dur"))
+        top = sorted((e for e in events if e.get("ph") == "X"
+                      and str(pids.get(e.get("pid"), "")).startswith("/device:")),
+                     key=lambda e: -abs(e.get("dur", 0)))[:10]
+        for e in top:
+            print("TRACE top-dur:", e["name"][:60], "dur_us=", e.get("dur"))
+    durs = [e["dur"] for e in matched if e.get("dur", 0) > 0]
+    if not durs:
+        # the relay's trace export occasionally corrupts the program
+        # envelope's dur; the longest well-formed device event (the scan's
+        # `while` loop) is the program body to within a few percent
+        durs = [e.get("dur", 0) for e in events
+                if e.get("ph") == "X"
+                and str(pids.get(e.get("pid"), "")).startswith("/device:")
+                and e.get("dur", 0) > 0]
+    return max(durs) / 1e6 if durs else None
+
+
+def main(batch_size: int = 1, steps: int = 2, height: int = 640,
          width: int = 512, chain: int = 31, small: bool = False):
     # NB: `steps` only feeds the informational per-call loop (each call
     # pays the full output-transfer constant); keep it small.
@@ -129,26 +178,45 @@ def main(batch_size: int = 1, steps: int = 5, height: int = 640,
 
         return jax.jit(chained, donate_argnums=(0,))
 
-    # The relay returns every program output (the multi-GB state) to the
-    # host per call — a ~60 s resolution-independent constant. To resolve
-    # the on-chip step time above that transfer's jitter, K must be large
-    # (default 31 -> ~6 s of compute against ~1 s of noise) and each K
-    # timed as a median of reps.
+    # The relay moves a ~60 s resolution-independent constant per call, with
+    # seconds of jitter — wall-clock deltas cannot resolve the ~0.1 s step.
+    # Instead: run K steps inside ONE jitted lax.scan under jax.profiler and
+    # read the device program's own duration from the trace (transfer-
+    # immune; the device timeline works over the axon tunnel).
     chain_dt = None
+    mfu = None
+    hbm_gbps = None
     if chain and chain > 1:
-        times = {}
-        for k in (1, chain):
-            fn = make_chained(k)
-            state, losses = fn(state, frozen, batch, key)  # compile
-            jax.block_until_ready(losses)
-            reps = []
-            for _ in range(3):
-                t0 = time.perf_counter()
-                state, losses = fn(state, frozen, batch, key)
-                jax.block_until_ready(losses)
-                reps.append(time.perf_counter() - t0)
-            times[k] = float(np.median(reps))
-        chain_dt = (times[chain] - times[1]) / (chain - 1)
+        fn = make_chained(chain)
+        state, losses = fn(state, frozen, batch, key)  # compile + warm
+        jax.block_until_ready(losses)
+        holder = {"state": state}
+
+        def run_once():
+            holder["state"], ls = fn(holder["state"], frozen, batch, key)
+            jax.block_until_ready(ls)
+
+        chain_dt = _profile_device_seconds(run_once, "jit_chained")
+        if chain_dt is not None:
+            chain_dt /= chain
+            try:
+                # cost analysis of the SINGLE-step program (the scan-body
+                # count inside jit_chained is unreliable: XLA reports the
+                # while body once, not xK). Includes remat recompute, so
+                # this is hardware FLOP utilization.
+                ca = step_fn.lower(holder["state"], frozen, batch, key) \
+                    .compile().cost_analysis()
+                if isinstance(ca, (list, tuple)):
+                    ca = ca[0]
+                flops_per_step = float(ca.get("flops", 0.0))
+                if flops_per_step > 0:
+                    # v5e bf16 peak 197 TFLOP/s (XLA's flop count treats an
+                    # MXU multiply-add as 2 flops, same convention)
+                    mfu = flops_per_step / chain_dt / 197e12
+                    hbm_gbps = float(ca.get("bytes accessed", 0.0)) \
+                        / chain_dt / 1e9
+            except Exception:
+                mfu = None
 
     out = {
         "metric": f"train_step_{width}x{height}",
@@ -163,6 +231,10 @@ def main(batch_size: int = 1, steps: int = 5, height: int = 640,
     if chain_dt is not None:
         out["chained_onchip_s_per_step"] = round(chain_dt, 4)
         out["chain_k"] = chain
+    if mfu is not None:
+        out["mfu_vs_v5e_bf16_peak"] = round(mfu, 3)
+    if hbm_gbps is not None:
+        out["hbm_gb_per_s"] = round(hbm_gbps, 1)
     print(json.dumps(out))
 
 
