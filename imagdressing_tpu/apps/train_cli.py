@@ -37,9 +37,19 @@ def build_argparser():
     p.add_argument("--num_train_steps", type=int, default=200_000)
     p.add_argument("--checkpointing_steps", type=int, default=2000)
     p.add_argument("--resume_from_checkpoint", action="store_true")
+    p.add_argument("--resize_shorter", type=int, default=512,
+                   help="dataset resize shorter-side (IGPair.py Resize(512))")
+    p.add_argument("--crop_height", type=int, default=640)
+    p.add_argument("--crop_width", type=int, default=512)
     p.add_argument("--dataloader_num_workers", type=int, default=4)
     p.add_argument("--logging_steps", type=int, default=10)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument(
+        "--tensor_parallel", type=int, default=1,
+        help="model-axis size: shard both UNets' attention/FF projections "
+        "over this many chips (train.step.tp_train_step); 1 = ZeRO-2 "
+        "data-parallel only",
+    )
     return p
 
 
@@ -58,6 +68,7 @@ def main(argv=None):
     from imagdressing_tpu.train.step import (
         init_train_state,
         shard_train_step,
+        tp_train_step,
     )
 
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(message)s")
@@ -89,13 +100,25 @@ def main(argv=None):
         dtype=jnp.bfloat16,
     )
 
-    mesh = mesh_lib.make_mesh()
+    tp = max(1, args.tensor_parallel)
+    if tp > 1:
+        n = len(jax.devices())
+        mesh = mesh_lib.make_mesh(data=n // tp, model=tp)
+    else:
+        mesh = mesh_lib.make_mesh()
     n_dev = mesh.shape[mesh_lib.DATA_AXIS]
     global_batch = cfg.train_batch_size * n_dev
-    log.info("mesh: %s devices, global batch %d", n_dev, global_batch)
+    log.info("mesh: %s, global batch %d", dict(mesh.shape), global_batch)
 
     state, frozen, tx = init_train_state(models, cfg)
-    jitted, state, frozen = shard_train_step(models, cfg, tx, mesh, state, frozen)
+    if tp > 1:
+        jitted, state, frozen = tp_train_step(
+            models, cfg, tx, mesh, state, frozen
+        )
+    else:
+        jitted, state, frozen = shard_train_step(
+            models, cfg, tx, mesh, state, frozen
+        )
 
     ckpt = CheckpointManager(os.path.join(args.output_dir, "checkpoints"))
     if args.resume_from_checkpoint:
@@ -108,6 +131,10 @@ def main(argv=None):
     dataset = IGPairDataset(
         args.data_json_file,
         tokenizer,
+        size=args.resize_shorter,
+        crop_h=args.crop_height,
+        crop_w=args.crop_width,
+        clip_size=models.vision_cfg.image_size,
         image_root=args.data_root_path,
         seed=cfg.seed,
     )

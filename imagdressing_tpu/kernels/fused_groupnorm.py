@@ -169,6 +169,13 @@ def _gn_call(x3, w, b, add, *, num_groups, eps, act, interpret):
         # in-place: the stats pass reads every chunk before the write pass
         # touches it, so x and out share one VMEM block (halves residency)
         input_output_aliases={0: 0},
+        # double-buffered in+out blocks at the top UNet level (~13 MB) can
+        # exceed XLA's default 16 MB *scoped* vmem when the surrounding
+        # program overlaps async copies; the physical budget is 128 MB
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
         interpret=(pltpu.InterpretParams() if interpret else False),
     )(*args)
 

@@ -99,6 +99,7 @@ class IGPairDataset:
         drop_image_prob: float = 0.05,
         drop_text_prob: float = 0.05,
         drop_both_prob: float = 0.05,
+        clip_size: int = 224,
         image_root: str = "",
         seed: int = 0,
     ):
@@ -106,6 +107,7 @@ class IGPairDataset:
         self.tokenize = tokenize
         self.size = size
         self.crop_h, self.crop_w = crop_h, crop_w
+        self.clip_size = clip_size
         self.probs = (drop_image_prob, drop_text_prob, drop_both_prob)
         self.image_root = image_root
         self.seed = seed
@@ -171,9 +173,10 @@ class IGPairDataset:
 
         from imagdressing_tpu.runtime import native as _native
 
-        clip_img = _native.clip_preprocess(cloth)
+        clip_img = (_native.clip_preprocess(cloth)
+                    if self.clip_size == 224 else None)
         if clip_img is None:
-            clip_img = clip_preprocess_np(cloth)
+            clip_img = clip_preprocess_np(cloth, self.clip_size)
         if drop_image:
             clip_img = np.zeros_like(clip_img)
 

@@ -400,3 +400,89 @@ def shard_train_step(
         donate_argnums=(0,),
     )
     return jitted, sharded_state, sharded_frozen
+
+
+def tp_train_step(
+    models: DressingModels,
+    cfg: TrainConfig,
+    tx: optax.GradientTransformation,
+    mesh,
+    state: TrainState,
+    frozen,
+    sched_cfg: Optional[SchedulerConfig] = None,
+):
+    """Tensor-parallel (+ data-parallel) train step over a (data, model) mesh.
+
+    The reference has no tensor parallelism at all (SURVEY §2.3 — SD1.5's
+    two 860M UNets fit per GPU); this is the TPU-native extension for
+    larger bases. Entirely declarative: the step function is the plain
+    `make_train_step` one — both UNets' attention/FF projection kernels are
+    column/row-split over the `model` axis (core/tp.py rules, same specs
+    serving uses), the batch is sharded over `data`, and XLA inserts the
+    activation all-gathers over `model` plus the gradient psum over `data`,
+    all riding ICI. Optimizer moments are sharded exactly like their
+    params (column/row-split leaves keep 1/m per device), so TP already
+    shards the dominant optimizer state; the ZeRO-2 variant
+    (`shard_train_step`) covers the data-axis-only layout.
+
+    Returns (jitted_step, sharded_state, sharded_frozen); checkpoints are
+    interchangeable with the replicated/ZeRO-2 paths (same pytrees).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from imagdressing_tpu.core import mesh as mesh_lib
+    from imagdressing_tpu.core import tp
+
+    repl = NamedSharding(mesh, P())
+
+    def tree_shardings(tree, tp_keys):
+        return {
+            k: (tp.unet_param_specs(v, mesh) if k in tp_keys
+                else jax.tree.map(lambda _: repl, v))
+            for k, v in tree.items()
+        }
+
+    param_sh = tree_shardings(state.params, ("ref_unet",))
+    frozen_sh = tree_shardings(frozen, ("unet",))
+
+    # Copy before sharding: device_put may alias the caller's buffers as a
+    # local shard and the jitted step donates the state (same reasoning as
+    # shard_train_step).
+    params = jax.device_put(jax.tree.map(jnp.copy, state.params), param_sh)
+    sharded_frozen = jax.device_put(frozen, frozen_sh)
+
+    # Optimizer-state shardings follow the params structurally: every
+    # params-shaped subtree in the optax state (adam mu/nu, MultiSteps
+    # accumulators, ...) gets the params' shardings; scalars replicate.
+    param_treedef = jax.tree.structure(state.params)
+
+    def _is_params_shaped(node):
+        try:
+            return jax.tree.structure(node) == param_treedef
+        except Exception:
+            return False
+
+    opt_sh = jax.tree.map(
+        lambda node: param_sh if _is_params_shaped(node)
+        else jax.tree.map(lambda _: repl, node),
+        state.opt_state,
+        is_leaf=_is_params_shaped,
+    )
+    opt_state = jax.device_put(jax.tree.map(jnp.copy, state.opt_state),
+                               opt_sh)
+
+    state_shardings = TrainState(step=repl, params=param_sh,
+                                 opt_state=opt_sh)
+    sharded_state = TrainState(
+        step=jax.device_put(state.step, repl), params=params,
+        opt_state=opt_state,
+    )
+    batch_sharded = NamedSharding(mesh, P(mesh_lib.DATA_AXIS))
+
+    jitted = jax.jit(
+        make_train_step(models, cfg, tx, sched_cfg),
+        in_shardings=(state_shardings, frozen_sh, batch_sharded, repl),
+        out_shardings=(state_shardings, repl),
+        donate_argnums=(0,),
+    )
+    return jitted, sharded_state, sharded_frozen

@@ -105,6 +105,44 @@ def test_sharded_step_matches_single_device(setup, cpu_devices):
     np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-5)
 
 
+def test_tp_train_step_matches_single_device(setup, cpu_devices):
+    """Tensor-parallel (data=2, model=2) step == the plain replicated step:
+    same loss/grad-norm/updated params, with UNet projection kernels and
+    their optimizer moments actually split over the model axis."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from imagdressing_tpu.train.step import tp_train_step
+
+    models, cfg, state, frozen, tx, step, batch = setup
+    s1, m1 = jax.jit(step)(state, frozen, batch, jax.random.PRNGKey(3))
+
+    mesh = mesh_lib.make_mesh(data=2, model=2, devices=cpu_devices[:4])
+    jitted, s_state, s_frozen = tp_train_step(
+        models, cfg, tx, mesh, state, frozen
+    )
+    # the attention projections really are model-split (params AND moments)
+    def find_sharded(tree):
+        return [l for l in jax.tree.leaves(tree)
+                if mesh_lib.MODEL_AXIS
+                in tuple(getattr(l.sharding, "spec", ()))]
+
+    assert find_sharded(s_state.params["ref_unet"])
+    assert find_sharded(s_state.opt_state)
+
+    s_batch = jax.device_put(batch, NamedSharding(mesh, P(mesh_lib.DATA_AXIS)))
+    rng = jax.device_put(jax.random.PRNGKey(3), NamedSharding(mesh, P()))
+    with mesh:
+        s2, m2 = jitted(s_state, s_frozen, s_batch, rng)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-4)
+    np.testing.assert_allclose(float(m1["grad_norm"]),
+                               float(m2["grad_norm"]), rtol=1e-3)
+    for l1, l2 in zip(jax.tree.leaves(s1.params),
+                      jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
+                                   atol=5e-5)
+
+
 def test_zero2_emits_reduce_scatter_and_shards_opt_state(setup, cpu_devices):
     """The ZeRO-2 contract, verified on the compiled program: gradient
     reduction is a reduce-scatter (NOT all-reduce + slice), and each device
