@@ -71,6 +71,23 @@ def test_train_cli_end_to_end(stubbed, tmp_path):
     assert (out / "checkpoints").exists()
 
 
+def test_train_cli_resume(stubbed, tmp_path):
+    """--resume_from_checkpoint restores step/params/moments and continues
+    from where the first run checkpointed (reference train.py:199-207)."""
+    mf = _write_manifest(tmp_path)
+    out = tmp_path / "run"
+    args = _common_args(mf, tmp_path, out)
+    train_cli.main(args)
+    # second invocation: restored at step 2, runs exactly step 3
+    args3 = list(args)
+    idx = args3.index("--num_train_steps") + 1
+    args3[idx] = "3"
+    train_cli.main(args3 + ["--resume_from_checkpoint"])
+    lines = [json.loads(ln) for ln in
+             (out / "metrics.jsonl").read_text().splitlines()]
+    assert [ln["step"] for ln in lines] == [1, 2, 3]
+
+
 def test_train_cli_tensor_parallel(stubbed, tmp_path):
     """--tensor_parallel 2 routes through tp_train_step on a (data, model)
     mesh (the reference has no TP at all; SURVEY §2.3)."""
