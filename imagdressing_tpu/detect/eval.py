@@ -39,7 +39,13 @@ def average_precision(
     the interpolated precision-recall curve."""
     rows = []  # (score, is_tp)
     n_gt = 0
-    for name, gts in ground_truth.items():
+    # images with detections but no ground-truth entry still contribute
+    # false positives (otherwise hallucinations on negative images are free)
+    names = list(ground_truth) + [
+        n for n in detections if n not in ground_truth
+    ]
+    for name in names:
+        gts = ground_truth.get(name, np.zeros((0, 4), np.float32))
         gts = np.asarray(gts, np.float32).reshape(-1, 4)
         n_gt += len(gts)
         dets = sorted(detections.get(name, []), key=lambda d: -d["score"])

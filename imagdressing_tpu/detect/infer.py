@@ -99,9 +99,16 @@ def paste_mask(mask: np.ndarray, box: np.ndarray, height: int, width: int,
     import cv2
 
     x0, y0, x1, y1 = [int(round(float(v))) for v in box]
-    x0, y0 = max(x0, 0), max(y0, 0)
-    x1, y1 = min(max(x1, x0 + 1), width), min(max(y1, y0 + 1), height)
     canvas = np.zeros((height, width), np.uint8)
+    # clamp INTO the frame on both ends: un-letterboxed boxes can land
+    # entirely in the padding (x0 >= width), where the old max/min gave a
+    # negative crop extent and cv2.resize raised
+    x0 = max(min(x0, width - 1), 0)
+    y0 = max(min(y0, height - 1), 0)
+    x1 = min(max(x1, x0 + 1), width)
+    y1 = min(max(y1, y0 + 1), height)
+    if x1 <= x0 or y1 <= y0:
+        return canvas
     resized = cv2.resize(mask.astype(np.float32), (x1 - x0, y1 - y0),
                          interpolation=cv2.INTER_LINEAR)
     canvas[y0:y1, x0:x1] = (resized >= threshold).astype(np.uint8)

@@ -37,16 +37,20 @@ def match_boxes(
     best = jnp.max(iou, axis=1)
     labels = jnp.where(best >= pos_iou, 1, jnp.where(best < neg_iou, 0, -1))
     if allow_low_quality:
-        # candidate index with the best IoU for each gt; force-positive it
+        # candidate index with the best IoU for each gt; force-positive it.
+        # Invalid/padding gts all argmax to candidate 0 — route their
+        # scatter index out of bounds (dropped by jax's default scatter
+        # mode) so they can never collide with a valid gt's write.
+        r = candidates.shape[0]
         best_per_gt = jnp.argmax(iou, axis=0)  # (G,)
-        force = jnp.zeros(candidates.shape[0], bool).at[best_per_gt].set(
-            gt_valid & (jnp.max(iou, axis=0) > 0)
-        )
+        has_overlap = gt_valid & (jnp.max(iou, axis=0) > 0)
+        safe_idx = jnp.where(has_overlap, best_per_gt, r)
+        force = jnp.zeros(r, bool).at[safe_idx].set(True, mode="drop")
         labels = jnp.where(force, 1, labels)
         # the forced candidate must also point at the gt that claimed it
-        claimed_gt = jnp.zeros(
-            candidates.shape[0], jnp.int32
-        ).at[best_per_gt].set(jnp.arange(gt_boxes.shape[0], dtype=jnp.int32))
+        claimed_gt = jnp.zeros(r, jnp.int32).at[safe_idx].set(
+            jnp.arange(gt_boxes.shape[0], dtype=jnp.int32), mode="drop"
+        )
         matched = jnp.where(force, claimed_gt, matched)
     return matched, labels.astype(jnp.int32)
 

@@ -150,9 +150,17 @@ def cami_u(reference_bgr: np.ndarray, generated_bgr: np.ndarray) -> float:
 
 
 def pose_overlap(pose1_rgb: np.ndarray, pose2_rgb: np.ndarray) -> float:
-    """Nonzero-render overlap ratio (eval_s.py:79-87)."""
-    m1 = pose1_rgb[..., 0] + pose1_rgb[..., 1] + pose1_rgb[..., 2]
-    m2 = pose2_rgb[..., 0] + pose2_rgb[..., 1] + pose2_rgb[..., 2]
+    """Nonzero-render overlap ratio (eval_s.py:79-87).
+
+    Documented deviation: the reference sums/multiplies the raw uint8
+    channels, so anti-aliased pixels can wrap mod 256 to exactly 0 and drop
+    out of both the denominator and the overlap product (eval_s.py:81-85).
+    We widen to int64 first — same intent, no wraparound (PARITY.md).
+    """
+    p1 = np.asarray(pose1_rgb, np.int64)
+    p2 = np.asarray(pose2_rgb, np.int64)
+    m1 = p1[..., 0] + p1[..., 1] + p1[..., 2]
+    m2 = p2[..., 0] + p2[..., 1] + p2[..., 2]
     num = np.count_nonzero(m1) * 1.0
     overlap = np.count_nonzero(m1 * m2) * 1.0
     return overlap / num if num > 0 else 0.0

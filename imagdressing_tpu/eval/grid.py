@@ -63,10 +63,20 @@ def cami_s_grid(
     """
     import cv2
 
-    cloths = sorted(os.listdir(cloth_dir))
-    poses = sorted(os.listdir(pose_dir))
-    faces = sorted(os.listdir(face_dir))
+    def _images_in(d):
+        # stray non-image files (.DS_Store, jsons) must not abort the grid
+        exts = (".jpg", ".jpeg", ".png", ".bmp", ".webp")
+        return sorted(f for f in os.listdir(d) if f.lower().endswith(exts))
+
+    cloths = _images_in(cloth_dir)
+    poses = _images_in(pose_dir)
+    faces = _images_in(face_dir)
     num_faces = min(num_faces, len(faces))
+
+    # reference cloths are grid-invariant: read each once, not once per cell
+    cloth_imgs = {
+        c: cv2.imread(os.path.join(cloth_dir, c)) for c in cloths
+    }
 
     face_embeds = {
         f: np.asarray(face_embed_fn(os.path.join(face_dir, f)))
@@ -77,6 +87,9 @@ def cami_s_grid(
     for i_prompt, prompt in enumerate(prompts):
         for j_pose, pose_name in enumerate(poses):
             pose1 = cv2.imread(os.path.join(pose_dir, pose_name))
+            if pose1 is None:
+                raise ValueError(
+                    f"unreadable pose image: {pose_dir}/{pose_name}")
             ph, pw = pose1.shape[:2]
             for k_face in range(num_faces):
                 face_name = faces[k_face]
@@ -99,9 +112,16 @@ def cami_s_grid(
                         cells.append(cell)
                         continue
 
-                    ref_cloth = cv2.imread(os.path.join(cloth_dir, cloth_name))
+                    ref_cloth = cloth_imgs[cloth_name]
                     gen_cloth = cv2.imread(gen_cloth_path)
                     gen_img = cv2.imread(gen_img_path)
+                    if ref_cloth is None or gen_cloth is None \
+                            or gen_img is None:
+                        # corrupt file: same 0-score convention as missing
+                        cell["score"] = 0.0
+                        cell["missing"] = True
+                        cells.append(cell)
+                        continue
 
                     cami_us = cami_u(ref_cloth, gen_cloth)
 

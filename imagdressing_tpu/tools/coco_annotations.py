@@ -269,6 +269,8 @@ def main(argv=None):
         print("wrote", out)
         return
 
+    if args.use_val and not (args.val_img_dir and args.val_anno_dir):
+        p.error("--use_val requires --val_img_dir and --val_anno_dir")
     coco = _coco_header(args.dataset)
     img_id, seg_id = add_split(
         coco, args.train_img_dir, args.train_anno_dir,

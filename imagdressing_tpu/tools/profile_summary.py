@@ -79,7 +79,8 @@ def summarize_trace(events: List[dict]) -> Dict[str, dict]:
         p0, p1 = prog["ts"], prog["ts"] + prog["dur"]
         name = prog["name"].split("(")[0]
         inner = [e for e in dev_events
-                 if e is not prog and e["ts"] >= p0 and e["ts"] < p1]
+                 if e is not prog and e["pid"] == prog["pid"]
+                 and e["ts"] >= p0 and e["ts"] < p1]
         by_class: Dict[str, float] = {}
         for e in inner:
             # only leaf-ish op events: skip nested control-flow envelopes

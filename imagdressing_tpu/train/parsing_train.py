@@ -50,13 +50,22 @@ def _is_bn_stat(path_elems) -> bool:
     return key in ("running_mean", "running_var")
 
 
-def make_optimizer(cfg: ParsingTrainConfig) -> optax.GradientTransformation:
-    schedule = optax.polynomial_schedule(
+def lr_schedule(cfg: ParsingTrainConfig):
+    """SCHP poly decay; evaluated at the CALLER's step_idx inside the step
+    (not an optimizer-internal count), so the decay position is explicit
+    and restarting from a params-only checkpoint resumes correctly."""
+    return optax.polynomial_schedule(
         cfg.learning_rate, 0.0, cfg.poly_power, cfg.total_steps
     )
+
+
+def make_optimizer(cfg: ParsingTrainConfig) -> optax.GradientTransformation:
+    # unit-LR SGD: momentum trace + descent direction; the step multiplies
+    # in lr_schedule(cfg)(step_idx)
     sgd = optax.chain(
         optax.add_decayed_weights(cfg.weight_decay),
-        optax.sgd(schedule, momentum=cfg.momentum),
+        optax.trace(decay=cfg.momentum),
+        optax.scale(-1.0),
     )
     # running stats are data, not parameters: freeze them in the optimizer
     # (the step updates them with the BN EMA instead)
@@ -125,6 +134,8 @@ def make_parsing_train_step(
         new_params = _update_running_stats(params, ctx.stats, cfg.bn_momentum)
         return loss, new_params
 
+    schedule = lr_schedule(cfg)
+
     def step(params, opt_state, step_idx, batch):
         (loss, stats_params), grads = jax.value_and_grad(
             loss_fn, has_aux=True
@@ -135,8 +146,10 @@ def make_parsing_train_step(
                 lambda g: jax.lax.pmean(g, axis_name), grads
             )
         updates, opt_state = tx.update(grads, opt_state, params)
+        lr = schedule(step_idx)
+        updates = jax.tree.map(lambda u: u * lr.astype(u.dtype), updates)
         params = optax.apply_updates(stats_params, updates)
-        return params, opt_state, {"loss": loss}
+        return params, opt_state, {"loss": loss, "lr": lr}
 
     return step
 
@@ -216,14 +229,19 @@ class ParsingDataset:
 
         sid = self.ids[idx % len(self.ids)]
         img = None
-        for ext in (".jpg", ".png", ".jpeg"):
+        for ext in (".jpg", ".png", ".jpeg", ".JPG", ".PNG", ".JPEG"):
             path = os.path.join(self.image_dir, sid + ext)
             if os.path.exists(path):
                 img = cv2.imread(path)  # BGR, the SCHP convention
                 break
-        lab = cv2.imread(
-            os.path.join(self.label_dir, sid + ".png"), cv2.IMREAD_GRAYSCALE
-        )
+        if img is None:
+            raise FileNotFoundError(
+                f"no readable image for id {sid!r} under {self.image_dir}"
+            )
+        lab_path = os.path.join(self.label_dir, sid + ".png")
+        lab = cv2.imread(lab_path, cv2.IMREAD_GRAYSCALE)
+        if lab is None:
+            raise FileNotFoundError(f"missing/unreadable label {lab_path}")
         img = cv2.resize(img, (self.w, self.h), interpolation=cv2.INTER_LINEAR)
         lab = cv2.resize(lab, (self.w, self.h),
                          interpolation=cv2.INTER_NEAREST)
