@@ -97,8 +97,13 @@ class InferenceWorker:
 
     @staticmethod
     def _batch_key(req: _Request):
+        # every per-CALL (not per-sample) pipeline argument must be in the
+        # key — requests only share a batch when the whole call config
+        # matches, otherwise later requests would silently inherit the
+        # first request's seed / scales
         p = req.payload
-        return (p.get("steps"), p.get("guidance_scale"))
+        return (p.get("steps"), p.get("guidance_scale"),
+                p.get("seed", 42), p.get("image_scale"))
 
     def _loop(self):
         from imagdressing_tpu.apps import image_utils as iu
@@ -134,6 +139,9 @@ class InferenceWorker:
                     num_inference_steps=int(first.get("steps") or 0) or None,
                     guidance_scale=first.get("guidance_scale"),
                     image_scale=first.get("image_scale"),
+                    # serving contract (perf ledger): uint8 readback is 4x
+                    # less tunnel/PCIe traffic; _png_b64 consumes it as-is
+                    output_uint8=True,
                 )
                 dt = time.perf_counter() - t0
                 for i, r in enumerate(batch):
@@ -144,6 +152,9 @@ class InferenceWorker:
                     r.event.set()
             except Exception as e:  # noqa: BLE001 — report errors per request
                 for r in batch:
+                    if r.event.is_set():
+                        continue  # already answered (e.g. post_process
+                        # failed on a LATER batch member) — don't clobber
                     r.result = {"error": f"{type(e).__name__}: {e}"}
                     r.event.set()
 
@@ -404,7 +415,15 @@ def main(argv=None):
         devices = jax.devices()
         tp_n = max(args.tensor_parallel, 1)
         if max(args.data_parallel, 1) * tp_n > len(devices):
+            # dev/test convenience: virtual CPU devices stand in for the
+            # missing chips — warn loudly, this is NOT a serving setup
             devices = jax.devices("cpu")
+            print(
+                f"WARNING: requested {args.data_parallel}x{tp_n} mesh "
+                f"exceeds the {jax.default_backend()} device count; "
+                f"falling back to {len(devices)} CPU devices (slow)",
+                flush=True,
+            )
         dp = (args.data_parallel if args.data_parallel > 0
               else len(devices) // tp_n)
         mesh = mesh_lib.make_mesh(

@@ -10,6 +10,15 @@ Usage:
     specs = unet_param_specs(params, mesh)
     params = jax.device_put(params, specs)
     out = jax.jit(fn, in_shardings=(specs, ...))(params, ...)
+
+Known trade-off: the GEGLU up-projection stores h and gate fused in one
+(D, 2*inner) kernel (diffusers layout, preserved for checkpoint
+compatibility), so column-splitting it leaves `jnp.split(hg, 2)` crossing
+shard boundaries and XLA reshards the 2*inner activation before the gate
+multiply — correct, but one extra collective per FF vs a Megatron-style
+per-shard interleave (which would require a TP-degree-dependent weight
+relayout at conversion time). Attention projections (the other half of the
+TP surface) split cleanly.
 """
 
 from __future__ import annotations

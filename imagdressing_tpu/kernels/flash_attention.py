@@ -226,8 +226,13 @@ def _flash_call(
 _BWD_BLOCK_Q = 512
 
 
-def _bwd_one_source(q, k, v, do, sm_scale):
-    """q (BH,Sq,D), k/v (BH,Skv,D), do (BH,Sq,D) -> (dq, dk, dv). fp32."""
+def _bwd_one_source(q, k, v, do, sm_scale, do_aux=None):
+    """q (BH,Sq,D), k/v (BH,Skv,D), do (BH,Sq,D) -> (dq, dk, dv[, daux]).
+
+    fp32. When `do_aux` is given, additionally accumulates
+    daux[bh] = sum_{q,d} do_aux * O (the per-head-batch cotangent of a
+    scalar multiplier on this source's output) from the o_blk already
+    materialized per block — the scale gradient for free."""
     bh, sq, d = q.shape
     bq = min(_BWD_BLOCK_Q, sq)
     while sq % bq:
@@ -237,10 +242,15 @@ def _bwd_one_source(q, k, v, do, sm_scale):
     kf = k.astype(jnp.float32)
     vf = v.astype(jnp.float32)
     dof = do.astype(jnp.float32)
+    with_aux = do_aux is not None
 
     def body(carry, blk):
-        dk_acc, dv_acc = carry
-        q_blk, do_blk = blk  # (BH, bq, D)
+        if with_aux:
+            dk_acc, dv_acc, daux = carry
+            q_blk, do_blk, aux_blk = blk
+        else:
+            dk_acc, dv_acc = carry
+            q_blk, do_blk = blk  # (BH, bq, D)
         s = jnp.einsum("bqd,bkd->bqk", q_blk, kf,
                        preferred_element_type=jnp.float32) * sm_scale
         lse = jax.nn.logsumexp(s, axis=-1, keepdims=True)
@@ -252,14 +262,24 @@ def _bwd_one_source(q, k, v, do, sm_scale):
         dq_blk = sm_scale * jnp.einsum("bqk,bkd->bqd", ds, kf)
         dk_acc = dk_acc + sm_scale * jnp.einsum("bqk,bqd->bkd", ds, q_blk)
         dv_acc = dv_acc + jnp.einsum("bqk,bqd->bkd", p, do_blk)
+        if with_aux:
+            daux = daux + jnp.sum(aux_blk * o_blk, axis=(1, 2))
+            return (dk_acc, dv_acc, daux), dq_blk
         return (dk_acc, dv_acc), dq_blk
 
-    q_blocks = qf.reshape(bh, nblk, bq, d).transpose(1, 0, 2, 3)
-    do_blocks = dof.reshape(bh, nblk, bq, d).transpose(1, 0, 2, 3)
+    def blocks(x):
+        return x.reshape(bh, nblk, bq, d).transpose(1, 0, 2, 3)
+
     init = (jnp.zeros_like(kf), jnp.zeros_like(vf))
-    (dk, dv), dq_blocks = jax.lax.scan(body, init, (q_blocks, do_blocks))
+    xs = (blocks(qf), blocks(dof))
+    if with_aux:
+        init = init + (jnp.zeros((bh,), jnp.float32),)
+        xs = xs + (blocks(do_aux.astype(jnp.float32)),)
+    carry, dq_blocks = jax.lax.scan(body, init, xs)
     dq = dq_blocks.transpose(1, 0, 2, 3).reshape(bh, sq, d)
-    return dq, dk, dv
+    if with_aux:
+        return dq, carry[0], carry[1], carry[2]
+    return dq, carry[0], carry[1]
 
 
 def _fold4(x, b, h):  # (B,S,H,D) -> (BH,S,D)
@@ -295,20 +315,25 @@ def _fa_bwd(res, g):
     if k_ref is not None:
         krf, vrf = _fold4(k_ref, b, h), _fold4(v_ref, b, h)
         s_bh = jnp.repeat(scale_vec.astype(jnp.float32), h)[:, None, None]
-        dq2, dkr, dvr = _bwd_one_source(qf, krf, vrf, s_bh * gf, sm)
+        dq2, dkr, dvr, daux = _bwd_one_source(
+            qf, krf, vrf, s_bh * gf, sm, do_aux=gf
+        )
+        # out = O1 + s * O2  =>  d out / d s = O2, accumulated per block
+        dscale = daux.reshape(b, h).sum(axis=1).astype(scale_vec.dtype)
         dq = dq + dq2
         dkr4 = _unfold4(dkr, b, h).astype(k_ref.dtype)
         dvr4 = _unfold4(dvr, b, h).astype(v_ref.dtype)
     else:
         dkr4 = None
         dvr4 = None
+        dscale = jnp.zeros_like(scale_vec)  # single source: out has no s
     return (
         _unfold4(dq, b, h).astype(q.dtype),
         _unfold4(dk, b, h).astype(k.dtype),
         _unfold4(dv, b, h).astype(v.dtype),
         dkr4,
         dvr4,
-        jnp.zeros_like(scale_vec),
+        dscale,
     )
 
 
@@ -322,13 +347,12 @@ def flash_attention(
     k_ref: Optional[jnp.ndarray] = None,  # (B, Skv, H, D) second source
     v_ref: Optional[jnp.ndarray] = None,
     ref_scale: Optional[jnp.ndarray] = None,  # scalar or (B,)
-    *,
-    block_q: int = 2048,
-    block_k: int = 1024,
 ) -> jnp.ndarray:
     """Flash attention over one or two KV sources (differentiable).
 
     Returns SDPA(q,k,v) [+ ref_scale * SDPA(q,k_ref,v_ref)], shape (B,Sq,H,D).
+    Block sizes are chosen internally (head-dim-aware, multiple-of-128
+    divisors of the sequence lengths) — there is no caller tuning knob.
     """
     b = q.shape[0]
     if ref_scale is None:

@@ -279,13 +279,11 @@ class DressingPipeline:
             "ipa_scale": jnp.float32(p.ipa_scale),
             "controlnet_scale": jnp.float32(p.controlnet_conditioning_scale),
         }
-        zeros_img = jnp.zeros_like(jnp.asarray(ref_clip_image))
         inputs = {
             "prompt_ids": jnp.asarray(prompt_ids, jnp.int32),
             "negative_prompt_ids": jnp.asarray(negative_prompt_ids, jnp.int32),
             "ref_image": jnp.asarray(ref_image),
             "ref_clip_image": jnp.asarray(ref_clip_image),
-            "ref_clip_null": zeros_img,
             "latents": jnp.asarray(latents),
             "pose_image": None if pose_image is None else jnp.asarray(pose_image),
             "faceid_embeds": None if faceid_embeds is None else jnp.asarray(faceid_embeds),
@@ -293,9 +291,19 @@ class DressingPipeline:
             "person_image": None if person_image is None else jnp.asarray(person_image),
             "mask_image": None if mask_image is None else jnp.asarray(mask_image),
         }
-        out = self._jitted(
-            self.models.params, inputs, scalars, steps, output_uint8
-        )
+        if self.mesh is not None and self.mesh.size > 1:
+            # multi-device pjit: trace with the partitionable XLA paths
+            # (Pallas custom calls have no SPMD rule — kernels/__init__.py)
+            import imagdressing_tpu.kernels as kernels_lib
+
+            with kernels_lib.pallas_disabled():
+                out = self._jitted(
+                    self.models.params, inputs, scalars, steps, output_uint8
+                )
+        else:
+            out = self._jitted(
+                self.models.params, inputs, scalars, steps, output_uint8
+            )
         return np.asarray(out)[:b_user]
 
 

@@ -339,16 +339,34 @@ def shard_train_step(
             if ax is None
         )
         gnorm = jnp.sqrt(jax.lax.psum(sq_scat, axis) + sq_rep)
-        trigger = gnorm < cfg.max_grad_norm
+        # non-finite skip must be a GLOBAL decision: the inner
+        # apply_if_finite only sees this device's gradient shard, and a
+        # localized overflow would skip the update on one device while the
+        # others apply theirs (DeepSpeed skips globally). gnorm aggregates
+        # every gradient element, so isfinite(gnorm) is that global signal.
+        finite = jnp.isfinite(gnorm)
+        gnorm_safe = jnp.where(finite, gnorm, 1.0)
+        trigger = gnorm_safe < cfg.max_grad_norm
         grads = jax.tree.map(
             lambda t: jax.lax.select(
-                trigger, t, (t / gnorm.astype(t.dtype)) * cfg.max_grad_norm
+                trigger, t,
+                (t / gnorm_safe.astype(t.dtype)) * cfg.max_grad_norm,
             ),
             grads,
         )
 
         param_shards = jax.tree.map(shard_leaf, state.params, grad_axes)
         updates, new_opt = tx.update(grads, state.opt_state, param_shards)
+        # global no-op on non-finite: zero the deltas AND keep the old
+        # optimizer state, identically on every device
+        updates = jax.tree.map(
+            lambda u: jnp.where(finite, u, jnp.zeros_like(u)), updates
+        )
+        new_opt = jax.tree.map(
+            lambda n, o: jnp.where(finite, n, o) if n.shape == o.shape
+            else n,
+            new_opt, state.opt_state,
+        )
         updates = jax.tree.map(gather_leaf, updates, grad_axes)
         new_params = optax.apply_updates(state.params, updates)
         new_state = TrainState(
@@ -485,4 +503,15 @@ def tp_train_step(
         out_shardings=(state_shardings, repl),
         donate_argnums=(0,),
     )
-    return jitted, sharded_state, sharded_frozen
+
+    def wrapped(*args):
+        # multi-device pjit traces with the XLA kernel paths (Pallas custom
+        # calls have no SPMD partitioning rule — kernels/__init__.py); the
+        # shard_map-based ZeRO-2 step keeps Pallas per-device.
+        import imagdressing_tpu.kernels as kernels_lib
+
+        with kernels_lib.pallas_disabled():
+            return jitted(*args)
+
+    wrapped.lower = jitted.lower
+    return wrapped, sharded_state, sharded_frozen

@@ -75,26 +75,26 @@ def test_flash_backward_matches_autodiff():
     scale = jnp.asarray([0.0, 0.7], jnp.float32)
     tgt = jnp.asarray(rng.standard_normal((B, S, H, D)).astype(np.float32))
 
-    def naive(q, k, v, kr, vr):
+    def naive(q, k, v, kr, vr, sc):
         def sdpa(q, k, v):
             logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(D)
             p = jax.nn.softmax(logits, -1)
             return jnp.einsum("bhqk,bkhd->bqhd", p, v)
 
-        out = sdpa(q, k, v) + scale[:, None, None, None] * sdpa(q, kr, vr)
+        out = sdpa(q, k, v) + sc[:, None, None, None] * sdpa(q, kr, vr)
         return jnp.sum((out - tgt) ** 2)
 
-    def ours(q, k, v, kr, vr):
+    def ours(q, k, v, kr, vr, sc):
         fa.INTERPRET = True
         try:
-            out = fa.flash_attention(q, k, v, kr, vr, scale,
-                                     block_q=128, block_k=128)
+            out = fa.flash_attention(q, k, v, kr, vr, sc)
         finally:
             fa.INTERPRET = False
         return jnp.sum((out - tgt) ** 2)
 
-    g_naive = jax.grad(naive, argnums=(0, 1, 2, 3, 4))(q, k, v, kr, vr)
-    g_ours = jax.grad(ours, argnums=(0, 1, 2, 3, 4))(q, k, v, kr, vr)
+    args = (q, k, v, kr, vr, scale)
+    g_naive = jax.grad(naive, argnums=(0, 1, 2, 3, 4, 5))(*args)
+    g_ours = jax.grad(ours, argnums=(0, 1, 2, 3, 4, 5))(*args)
     for gn, go in zip(g_naive, g_ours):
         np.testing.assert_allclose(np.asarray(go), np.asarray(gn),
                                    atol=5e-3, rtol=1e-3)
@@ -116,11 +116,9 @@ def test_flash_kernel_interpret_mode():
         got = fa.flash_attention(
             jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
             jnp.asarray(kr), jnp.asarray(vr), jnp.asarray(scale),
-            block_q=128, block_k=128,
         )
         got_single = fa.flash_attention(
             jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
-            block_q=128, block_k=128,
         )
     finally:
         fa.INTERPRET = False

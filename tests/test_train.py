@@ -105,6 +105,31 @@ def test_sharded_step_matches_single_device(setup, cpu_devices):
     np.testing.assert_allclose(np.asarray(l1), np.asarray(l2), atol=1e-5)
 
 
+def test_zero2_nonfinite_step_is_global_noop(setup, cpu_devices):
+    """A NaN arising on ONE device's shard must skip the update GLOBALLY
+    (DeepSpeed semantics) — not per-device, which would leave the replicated
+    params divergent across the mesh."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    models, cfg, state, frozen, tx, step, batch = setup
+    mesh = mesh_lib.make_mesh(devices=cpu_devices[:2])
+    jitted, s_state, s_frozen = shard_train_step(
+        models, cfg, tx, mesh, state, frozen
+    )
+    bad = dict(batch)
+    img = np.asarray(batch["person_image"]).copy()
+    img[0, 0, 0, 0] = np.nan  # poisons only device 0's shard
+    bad["person_image"] = jnp.asarray(img)
+    s_batch = jax.device_put(bad, NamedSharding(mesh, P(mesh_lib.DATA_AXIS)))
+    rng = jax.device_put(jax.random.PRNGKey(3), NamedSharding(mesh, P()))
+    before = jax.tree.map(np.array, jax.device_get(s_state.params))
+    with mesh:
+        s2, m2 = jitted(s_state, s_frozen, s_batch, rng)
+    assert not np.isfinite(float(m2["grad_norm"]))
+    for b, a in zip(jax.tree.leaves(before), jax.tree.leaves(s2.params)):
+        np.testing.assert_array_equal(b, np.asarray(a))
+
+
 def test_tp_train_step_matches_single_device(setup, cpu_devices):
     """Tensor-parallel (data=2, model=2) step == the plain replicated step:
     same loss/grad-norm/updated params, with UNet projection kernels and
