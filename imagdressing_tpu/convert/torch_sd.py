@@ -468,7 +468,6 @@ def adapter_module_index_map(cfg: UNetConfig = UNetConfig()) -> List[Tuple[int, 
     """
     pairs = []
     idx = 0
-    attn1 = iter_names = None  # readability
     from imagdressing_tpu.models.unet import attn_layer_names
 
     a1 = attn_layer_names(cfg, "attn1")

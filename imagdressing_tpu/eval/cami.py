@@ -23,10 +23,23 @@ from scipy.ndimage import uniform_filter
 
 
 def _to_gray(img: np.ndarray) -> np.ndarray:
-    """BGR (cv2 convention, matching the reference's cv2.imread) -> gray."""
+    """BGR (cv2 convention, matching the reference's cv2.imread) -> gray.
+
+    uint8 inputs reproduce cv2.cvtColor(BGR2GRAY)'s fixed-point rounding
+    exactly — the reference thresholds (Harris 1%-of-max, LBP bit compares)
+    act on the ROUNDED gray, and sub-0.5 float differences move corners and
+    flip LBP bits."""
     if img.ndim == 2:
         return img.astype(np.float64)
     b, g, r = img[..., 0], img[..., 1], img[..., 2]
+    if img.dtype == np.uint8:
+        y = (
+            r.astype(np.int64) * 4899
+            + g.astype(np.int64) * 9617
+            + b.astype(np.int64) * 1868
+            + (1 << 13)
+        ) >> 14
+        return y.astype(np.float64)
     return 0.114 * b + 0.587 * g + 0.299 * r
 
 
@@ -71,6 +84,11 @@ def local_binary_pattern(gray: np.ndarray, P: int = 8, R: float = 1.0) -> np.nda
     gray = gray.astype(np.float64)
     h, w = gray.shape
     out = np.zeros((h, w), np.float64)
+    # skimage's bilinear_interpolation reads out-of-image neighbors as
+    # CONSTANT 0 (mode 'C', cval 0) — border pixels compare against 0, not
+    # a replicated edge value. Zero-pad and shift instead of clipping.
+    pad = int(np.ceil(R)) + 1
+    gp = np.pad(gray, pad, constant_values=0.0)
     rows, cols = np.mgrid[0:h, 0:w]
     for p in range(P):
         # skimage angle convention: (r, c) = (-R sin, R cos) of 2*pi*p/P...
@@ -78,19 +96,19 @@ def local_binary_pattern(gray: np.ndarray, P: int = 8, R: float = 1.0) -> np.nda
         theta = 2.0 * np.pi * p / P
         rr = -R * np.sin(theta)
         cc = R * np.cos(theta)
-        r = rows + rr
-        c = cols + cc
-        r0 = np.clip(np.floor(r).astype(int), 0, h - 1)
-        r1 = np.clip(r0 + 1, 0, h - 1)
-        c0 = np.clip(np.floor(c).astype(int), 0, w - 1)
-        c1 = np.clip(c0 + 1, 0, w - 1)
-        fr = np.clip(r - np.floor(r), 0, 1)
-        fc = np.clip(c - np.floor(c), 0, 1)
+        r = rows + rr + pad
+        c = cols + cc + pad
+        r0 = np.floor(r).astype(int)
+        r1 = r0 + 1
+        c0 = np.floor(c).astype(int)
+        c1 = c0 + 1
+        fr = r - r0
+        fc = c - c0
         val = (
-            gray[r0, c0] * (1 - fr) * (1 - fc)
-            + gray[r1, c0] * fr * (1 - fc)
-            + gray[r0, c1] * (1 - fr) * fc
-            + gray[r1, c1] * fr * fc
+            gp[r0, c0] * (1 - fr) * (1 - fc)
+            + gp[r1, c0] * fr * (1 - fc)
+            + gp[r0, c1] * (1 - fr) * fc
+            + gp[r1, c1] * fr * fc
         )
         # skimage thresholds with a small tolerance on interpolated values
         eps = 1e-6 * np.abs(val)

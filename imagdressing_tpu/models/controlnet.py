@@ -83,6 +83,18 @@ def _skip_channels(ucfg: UNetConfig) -> List[int]:
     return chs
 
 
+def precompute_cond_embedding(
+    params: Params, cond_image: jnp.ndarray, dtype=None
+) -> jnp.ndarray:
+    """Timestep-invariant conditioning embedding — seven pixel-space convs
+    on the full-res condition image. Pipelines hoist this OUT of the
+    sampling scan (same discipline as the garment/IP/text K/V caches) and
+    pass the result to `apply(cond_emb=...)`; recomputing it per step would
+    pay the full-res convs on all 30-50 iterations."""
+    x = cond_image if dtype is None else cond_image.astype(dtype)
+    return _cond_embedding(params["controlnet_cond_embedding"], x)
+
+
 def _cond_embedding(p: Params, cond_image: jnp.ndarray) -> jnp.ndarray:
     """cond_image (B,H,W,3) in [0,1] (pose render) or with -1 masked pixels
     (inpaint, reference make_inpaint_condition) -> (B,H/8,W/8,320)."""
@@ -101,13 +113,19 @@ def apply(
     sample: jnp.ndarray,  # (B,h,w,4) latents
     timesteps: jnp.ndarray,
     encoder_hidden_states: jnp.ndarray,  # (B,77,768) text embeds
-    cond_image: jnp.ndarray,  # (B,H,W,3) pixel-space condition
+    cond_image: jnp.ndarray = None,  # (B,H,W,3) pixel-space condition
     conditioning_scale: float = 1.0,
+    cond_emb: jnp.ndarray = None,  # precompute_cond_embedding output
 ) -> Tuple[Tuple[jnp.ndarray, ...], jnp.ndarray]:
-    """-> (down_block_residuals (12,), mid_block_residual)."""
+    """-> (down_block_residuals (12,), mid_block_residual).
+
+    Pass `cond_emb` (precomputed once, outside the sampling scan) OR the
+    raw `cond_image` (computed here — fine for single calls, wasteful
+    inside a scan)."""
     ucfg = cfg.unet
-    cond_emb = _cond_embedding(params["controlnet_cond_embedding"],
-                               cond_image.astype(sample.dtype))
+    if cond_emb is None:
+        cond_emb = _cond_embedding(params["controlnet_cond_embedding"],
+                                   cond_image.astype(sample.dtype))
 
     # Trunk = UNet encoder with the conditioning embedding added to conv_in
     # output. unet.apply exposes this via `down_only` + additive hook below.

@@ -81,7 +81,11 @@ def attn_layer_seq_lens(cfg: UNetConfig, h: int, w: int) -> Dict[str, int]:
             level = int(name[len("down_blocks.")])
         else:
             level = n - 1 - int(name[len("up_blocks.")])
-        out[name] = (h // 2**level) * (w // 2**level)
+        # stride-2/pad-1 downsamplers produce ceil(h/2) per level (floor
+        # would under-report tokens for odd intermediate sizes); note
+        # ceil(ceil(h/2)/2) == ceil(h/4), so one ceil-div per level is exact
+        d = 2**level
+        out[name] = (-(-h // d)) * (-(-w // d))
     return out
 
 

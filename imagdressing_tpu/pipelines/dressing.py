@@ -433,15 +433,26 @@ def _generate(
     # ---- 6. per-step eps with fused CFG ------------------------------------
     guidance = scalars["guidance_scale"]
 
+    # ControlNet's conditioning embedding is timestep-invariant (seven
+    # pixel-space convs on the full-res condition) — hoist it out of the
+    # scan like every other timestep-invariant conditioning
+    cn_cond_emb = None
+    if preset.use_controlnet:
+        cn_cond_emb = controlnet_lib.precompute_cond_embedding(
+            params["controlnet"], _duplicate(inputs["pose_image"]),
+            dtype=compute_dtype,
+        )
+
     def eps_fn(lat, t):
         lat_in = _duplicate(lat).astype(compute_dtype)
         tt = jnp.broadcast_to(t, (2 * b,))
         step_cond = cond
         if preset.use_controlnet:
-            pose = _duplicate(inputs["pose_image"])
             down_res, mid_res = controlnet_lib.apply(
                 params["controlnet"], controlnet_cfg, lat_in, tt,
-                text_embeds, pose, scalars["controlnet_scale"],
+                text_embeds,
+                conditioning_scale=scalars["controlnet_scale"],
+                cond_emb=cn_cond_emb,
             )
             step_cond = dataclasses.replace(
                 cond, down_block_residuals=down_res, mid_block_residual=mid_res

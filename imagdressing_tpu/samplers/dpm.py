@@ -43,8 +43,11 @@ def _lambda_tables(sched: ddim.DDIMSchedule, num_steps: int, t_start: int = 0):
     ts = ddim.timesteps(sched, num_steps)[t_start:]
     ac = sched.alphas_cumprod
     abar = ac[ts]
-    # terminal: prev step below 0 uses final_alpha_cumprod (DDIM semantics)
-    prev = ts - sched.cfg.num_train_timesteps // num_steps
+    # next solver point = the NEXT ACTUAL timestep in ts (under 'trailing'
+    # spacing the gaps alternate, so `t - T//num_steps` would tabulate
+    # lambdas for points the sampler never visits); terminal point uses
+    # final_alpha_cumprod (DDIM semantics)
+    prev = np.concatenate([ts[1:], np.full((1,), -1, ts.dtype)])
     abar_next = np.where(
         prev >= 0, ac[np.maximum(prev, 0)], sched.final_alpha_cumprod
     )

@@ -68,3 +68,14 @@ def test_unipc_matches_multistep_family():
     # corrector off still converges
     u_nc = unipc.sample_loop(sched, _linear_eps, x, 40, use_corrector=False)
     assert float(jnp.abs(u_nc - ref).max()) < errs[0]
+
+
+def test_lambda_tables_follow_actual_timesteps():
+    """The next-point tables must be evaluated at ts[i+1] — under 'trailing'
+    spacing the gaps alternate (33/34 at T=1000, steps=30), so the uniform
+    `t - T//steps` approximation tabulates points the sampler never visits
+    and every multistep ratio r = h_prev/h is wrong."""
+    for spacing in ("leading", "trailing"):
+        sched = ddim.make_schedule(SchedulerConfig(timestep_spacing=spacing))
+        ts, _, _, lam, _, _, lam_n = dpm._lambda_tables(sched, 30)
+        np.testing.assert_allclose(lam_n[:-1], lam[1:], rtol=0, atol=1e-12)
