@@ -492,7 +492,9 @@ def tp_train_step(
     state_shardings = TrainState(step=repl, params=param_sh,
                                  opt_state=opt_sh)
     sharded_state = TrainState(
-        step=jax.device_put(state.step, repl), params=params,
+        # copy like params/opt_state: device_put can alias the caller's
+        # buffer as a local shard, and the donated step would delete it
+        step=jax.device_put(jnp.copy(state.step), repl), params=params,
         opt_state=opt_state,
     )
     batch_sharded = NamedSharding(mesh, P(mesh_lib.DATA_AXIS))
