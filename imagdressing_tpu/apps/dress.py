@@ -116,13 +116,20 @@ def main(argv=None):
     )
     negative = args.negative_prompt or iu.DEFAULT_NEGATIVE
 
+    if not args.cloth_dir and not args.cloth_path:
+        raise SystemExit("one of --cloth_path / --cloth_dir is required")
+    _img_exts = (".jpg", ".jpeg", ".png", ".bmp", ".webp")
     cloths = (
         sorted(
-            os.path.join(args.cloth_dir, f) for f in os.listdir(args.cloth_dir)
+            os.path.join(args.cloth_dir, f)
+            for f in os.listdir(args.cloth_dir)
+            if f.lower().endswith(_img_exts)
         )
         if args.cloth_dir
         else [args.cloth_path]
     )
+    if not cloths:
+        raise SystemExit(f"no images found in {args.cloth_dir}")
     os.makedirs(args.output_path, exist_ok=True)
 
     extra = {}
@@ -158,6 +165,12 @@ def main(argv=None):
     bs = max(1, args.batch_size)
     for start in range(0, len(cloths), bs):
         chunk = cloths[start : start + bs]
+        n_real = len(chunk)
+        # pad the ragged final chunk by repeating its last garment: a
+        # different batch size would re-trace/compile the whole pipeline
+        # (minutes over a remote-compile link) for one leftover shape
+        if n_real < bs and start > 0:
+            chunk = chunk + [chunk[-1]] * (bs - n_real)
         prepped = [
             iu.prepare_garment(
                 cp, preset.height, preset.width,
@@ -181,7 +194,7 @@ def main(argv=None):
             image_scale=args.image_scale,
             **batched_extra,
         )
-        for i, cloth_path in enumerate(chunk):
+        for i, cloth_path in enumerate(chunk[:n_real]):
             img = iu.to_pil(out[i : i + 1])
             collage = iu.image_grid(
                 [prepped[i][2].resize((preset.width, preset.height),

@@ -116,10 +116,12 @@ def get_mask_location(
                 [shoulder, elbow, wrist_ext], np.float64
             ).astype(np.uint16).astype(np.int32)
             cv2.polylines(band, [poly], False, 255, lw, cv2.LINE_8)
-            # shoulder arc (reference draws a full circle outline of width
-            # lw//2 around the shoulder)
+            # shoulder cap: the reference's PIL arc(bbox radius lw//2,
+            # width lw//2) strokes INWARD from the outer radius — i.e. a
+            # filled disc of radius lw//2. A cv2 outline of thickness t
+            # would straddle the radius and reach lw//2 + t/2 outward.
             cv2.circle(band, tuple(np.round(shoulder).astype(int)),
-                       lw // 2, 255, max(lw // 2, 1))
+                       lw // 2, 255, -1)
             return band > 0
 
         band_r = arm_band(sh_r, el_r, wr_r, arms_right)

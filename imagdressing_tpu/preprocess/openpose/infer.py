@@ -37,15 +37,26 @@ MAP_IDX = [
 ]
 
 
-@functools.partial(jax.jit, static_argnames=("out_h", "out_w"))
-def _forward(params, image_bgr_norm, out_h: int, out_w: int):
+@functools.partial(
+    jax.jit, static_argnames=("sh", "sw", "ph", "pw", "out_h", "out_w")
+)
+def _forward(params, image_bgr_norm, sh: int, sw: int, ph: int, pw: int,
+             out_h: int, out_w: int):
     paf, heat = cpm.apply(params, image_bgr_norm)
-    # upsample stride-8 maps back to the original resolution (bicubic like
-    # the reference's smart_resize)
+    # Reference chain (body.py): upsample stride-8 maps to the PADDED scaled
+    # size, CROP the stride pad, then resize to the original resolution.
+    # Resizing the padded map straight to (out_h, out_w) would compress
+    # every keypoint toward the top-left by sw/(sw+pw) (~16 px at the right
+    # edge of a standard 384x512 input).
     b = image_bgr_norm.shape[0]
-    paf = jax.image.resize(paf, (b, out_h, out_w, paf.shape[-1]), "bicubic")
-    heat = jax.image.resize(heat, (b, out_h, out_w, heat.shape[-1]), "bicubic")
-    return paf, heat
+
+    def up(x):
+        x = jax.image.resize(
+            x, (b, sh + ph, sw + pw, x.shape[-1]), "bicubic"
+        )[:, :sh, :sw]
+        return jax.image.resize(x, (b, out_h, out_w, x.shape[-1]), "bicubic")
+
+    return up(paf), up(heat)
 
 
 def _find_peaks(heatmap: np.ndarray, thre1: float) -> List[List[Tuple]]:
@@ -220,7 +231,9 @@ class OpenPose:
             constant_values=self.pad_value,
         )
         norm = padded / 256.0 - 0.5
-        paf, heat = _forward(self.params, jnp.asarray(norm[None]), h, w)
+        paf, heat = _forward(
+            self.params, jnp.asarray(norm[None]), sh, sw, ph, pw, h, w
+        )
         paf = np.asarray(paf[0], np.float64)
         heat = np.asarray(heat[0], np.float64)
         all_peaks = _find_peaks(heat, self.thre1)
@@ -236,7 +249,9 @@ class OpenPose:
         candidate, persons = self.detect(image_rgb)
         kps = np.zeros((18, 2), np.float64)
         if len(persons):
-            person = persons[np.argmax(persons[:, -2])]
+            # the reference consumes subset[0] — the FIRST assembled person,
+            # not the highest-scoring one (run_openpose.py:51)
+            person = persons[0]
             for i in range(18):
                 idx = int(person[i])
                 if idx >= 0:

@@ -65,8 +65,18 @@ def _box_center_scale(w, h, aspect):
 @functools.partial(jax.jit, static_argnames=("num_classes", "size"))
 def _forward(params, image, num_classes: int, size: int):
     fusion, _ = schp.apply(params, image, num_classes)
-    return jax.image.resize(
-        fusion, (1, size, size, fusion.shape[-1]), "bilinear"
+    # torch Upsample(align_corners=True) grid (the reference's
+    # parsing upsample): in = o*(n-1)/(N-1). jax.image.resize's 'bilinear'
+    # uses half-pixel centers, which shifts label boundaries ~1.5 px;
+    # scale_and_translate with s=(N-1)/(n-1), t=0.5-0.5s reproduces the
+    # align-corners grid exactly (verified vs torch to 1e-6).
+    n_h, n_w = fusion.shape[1:3]
+    s = jnp.array(
+        [(size - 1) / (n_h - 1), (size - 1) / (n_w - 1)], jnp.float32
+    )
+    return jax.image.scale_and_translate(
+        fusion, (1, size, size, fusion.shape[-1]), (1, 2), s, 0.5 - 0.5 * s,
+        method="linear", antialias=False,
     )
 
 
@@ -90,20 +100,12 @@ class Parsing:
     def from_torch(cls, atr_path: str, lip_path: str) -> "Parsing":
         import torch
 
-        atr = schp.convert_torch(
-            torch.load(atr_path, map_location="cpu", weights_only=False).get(
-                "state_dict", torch.load(atr_path, map_location="cpu",
-                                         weights_only=False)
-            ),
-            schp.NUM_CLASSES_ATR,
-        )
-        lip = schp.convert_torch(
-            torch.load(lip_path, map_location="cpu", weights_only=False).get(
-                "state_dict", torch.load(lip_path, map_location="cpu",
-                                         weights_only=False)
-            ),
-            schp.NUM_CLASSES_LIP,
-        )
+        def load(path):
+            sd = torch.load(path, map_location="cpu", weights_only=False)
+            return sd.get("state_dict", sd)
+
+        atr = schp.convert_torch(load(atr_path), schp.NUM_CLASSES_ATR)
+        lip = schp.convert_torch(load(lip_path), schp.NUM_CLASSES_LIP)
         return cls(atr, lip)
 
     @classmethod
@@ -174,11 +176,14 @@ class Parsing:
         filled_cloth = filled.astype(np.float64) / 255 * 4
         parse_woarm = np.where(filled_cloth == 4, filled_cloth, parse)
 
-        # holes between arm and cloth > 2000 px stay as-is
+        # holes between arm and cloth > 2000 px stay as-is. Arm pixels are
+        # REMOVED from the hole mask; a uint8 `- arm*255` would wrap 0-255
+        # to 1 and hand findContours spurious arm-shaped foreground
         hole = cv2.bitwise_and(
             np.where(filled_cloth == 4, 255, 0).astype(np.uint8),
             np.where(parse != 4, 255, 0).astype(np.uint8),
-        ) - arm.astype(np.uint8) * 255
+        )
+        hole[arm > 0] = 0
         contours, _ = cv2.findContours(hole, cv2.RETR_CCOMP,
                                        cv2.CHAIN_APPROX_TC89_L1)
         keep_mask = np.zeros_like(parse, np.uint8)

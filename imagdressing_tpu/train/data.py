@@ -212,6 +212,14 @@ def data_iterator(
             if shuffle:
                 np.random.default_rng(seed + epoch).shuffle(order)
             local = order[process_index::process_count]
+            # pad short shards by wrapping (DistributedSampler semantics):
+            # every process MUST yield the same number of batches per epoch
+            # or the SPMD train step deadlocks on the short rank
+            if len(local) == 0:
+                local = order[:1]
+            need = max(1, -(-len(local) // batch_size)) * batch_size
+            if need > len(local):
+                local = np.tile(local, -(-need // len(local)))[:need]
             for start in range(0, len(local) - batch_size + 1, batch_size):
                 idxs = local[start : start + batch_size]
                 futs = [pool.submit(dataset.get, int(i), epoch) for i in idxs]
@@ -222,9 +230,18 @@ def data_iterator(
                 out.put(batch)
             epoch += 1
 
-    threading.Thread(target=producer, daemon=True).start()
+    def guarded_producer():
+        try:
+            producer()
+        except BaseException as e:  # noqa: BLE001 — surface to the consumer
+            out.put(e)  # a dead silent producer would hang next(it) forever
+
+    threading.Thread(target=guarded_producer, daemon=True).start()
     while True:
-        yield out.get()
+        item = out.get()
+        if isinstance(item, BaseException):
+            raise item
+        yield item
 
 
 def shard_host_batch(mesh, host_batch: Dict[str, np.ndarray]):
