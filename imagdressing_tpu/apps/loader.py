@@ -94,17 +94,14 @@ def load_dressing_models(
         # training-from-scratch init: garment UNet = a copy of the base,
         # adapters from the base to_k/to_v (reference train.py:339-359,367),
         # Resampler randomly initialized (train.py:325-336)
-        import jax as _jax
-
-        ref_unet = _jax.tree.map(jnp.array, unet_params)
         from imagdressing_tpu.models import resampler as resampler_lib
-        from imagdressing_tpu.models import unet as unet_lib
 
+        ref_unet = jax.tree.map(jnp.array, unet_params)
         ref_adapters = unet_lib.init_ref_adapters_from_unet(
             unet_params, unet_cfg
         )
         resampler_params = resampler_lib.init(
-            _jax.random.PRNGKey(0), resampler_cfg
+            jax.random.PRNGKey(0), resampler_cfg
         )
 
     params = {

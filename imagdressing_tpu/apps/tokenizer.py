@@ -74,10 +74,14 @@ class CLIPTokenizer:
             "<|startoftext|>": "<|startoftext|>",
             "<|endoftext|>": "<|endoftext|>",
         }
+        # ASCII approximation of CLIP's \p{L}/\p{N} word pattern (stdlib
+        # `re` has no Unicode property classes): non-ASCII letters fall to
+        # the punctuation class and can split differently than the HF
+        # tokenizer — byte-level BPE still covers them, but ids for e.g.
+        # accented words may differ
         self.pat = re.compile(
-            r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+"""
-            if False
-            else r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+""",
+            r"""<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"""
+            r"""|[a-zA-Z]+|[0-9]|[^\sa-zA-Z0-9]+""",
             re.IGNORECASE,
         )
         self.bos = self.encoder["<|startoftext|>"]

@@ -83,6 +83,7 @@ def _parse_tensor(buf: bytes):
     raw = None
     float_data = []
     int64_data = []
+    int32_data = []
     for field, wire, val in _fields(buf):
         if field == 1 and wire == 0:
             dims.append(val)
@@ -99,11 +100,24 @@ def _parse_tensor(buf: bytes):
             )
         elif field == 4 and wire == 5:
             float_data.append(struct.unpack("<f", val)[0])
+        elif field == 5 and wire == 2:  # packed int32_data
+            pos = 0
+            while pos < len(val):
+                d, pos = _read_varint(val, pos)
+                if d >= 1 << 31:  # proto int32: two's complement in varint
+                    d -= 1 << 64
+                int32_data.append(d)
+        elif field == 5 and wire == 0:
+            int32_data.append(val - (1 << 64) if val >= 1 << 31 else val)
         elif field == 7 and wire == 2:  # packed int64_data
             pos = 0
             while pos < len(val):
                 d, pos = _read_varint(val, pos)
+                if d >= 1 << 63:  # negative int64: two's complement
+                    d -= 1 << 64
                 int64_data.append(d)
+        elif field == 7 and wire == 0:
+            int64_data.append(val - (1 << 64) if val >= 1 << 63 else val)
         elif field == 8 and wire == 2:
             name = val.decode("utf-8", "replace")
         elif field == 9 and wire == 2:
@@ -115,6 +129,8 @@ def _parse_tensor(buf: bytes):
         arr = np.asarray(float_data, np.float32)
     elif int64_data:
         arr = np.asarray(int64_data, np.int64)
+    elif int32_data:
+        arr = np.asarray(int32_data, np.int32).astype(np_dtype)
     else:
         arr = np.zeros(0, np_dtype)
     if dims:

@@ -47,7 +47,14 @@ def _act_inverse(y, activation: str, slope: float):
     if activation == "leaky_relu":
         return jnp.where(y >= 0, y, y / slope)
     if activation == "elu":
-        return jnp.where(y >= 0, y, jnp.log1p(y))
+        # deeply-saturated outputs round to exactly -1 in bf16 (pre-act
+        # below ~-7): log1p(-1) = -inf would turn the 0-gradient term into
+        # 0 * inf = NaN downstream — clamp just inside the asymptote (the
+        # matching activation gradient there is ~1e-7, so the recovered z
+        # only multiplies a negligible dz)
+        return jnp.where(
+            y >= 0, y, jnp.log1p(jnp.maximum(y, -1.0 + 1e-7))
+        )
     return y
 
 

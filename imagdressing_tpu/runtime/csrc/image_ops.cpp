@@ -9,6 +9,7 @@
 //
 // All functions return 0 on success, negative on failure.
 
+#include <cmath>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
@@ -30,32 +31,81 @@ void jpeg_error_exit(j_common_ptr cinfo) {
   longjmp(err->setjmp_buffer, 1);
 }
 
-// Bilinear resize uint8 HWC -> uint8 HWC.
+// PIL-equivalent separable triangle (BILINEAR) resampling: half-pixel
+// center mapping with the filter support scaled by the downscale factor
+// (PIL always antialiases on downscale — Resample.c). The previous
+// align-corners 2-tap version aliased heavily on the >2x downscales the
+// training pipeline does and sampled a shifted grid vs PIL/torchvision.
+void compute_triangle_weights(int ssize, int dsize, std::vector<int>& xmins,
+                              std::vector<int>& xmaxs,
+                              std::vector<float>& weights, int& ksize) {
+  const double scale = static_cast<double>(ssize) / dsize;
+  const double filterscale = scale < 1.0 ? 1.0 : scale;
+  const double support = 1.0 * filterscale;  // triangle filter support
+  ksize = static_cast<int>(std::ceil(support)) * 2 + 1;
+  xmins.resize(dsize);
+  xmaxs.resize(dsize);
+  weights.assign(static_cast<size_t>(dsize) * ksize, 0.f);
+  const double ss = 1.0 / filterscale;
+  for (int xx = 0; xx < dsize; ++xx) {
+    const double center = (xx + 0.5) * scale;
+    int xmin = static_cast<int>(center - support + 0.5);
+    if (xmin < 0) xmin = 0;
+    int xmax = static_cast<int>(center + support + 0.5);
+    if (xmax > ssize) xmax = ssize;
+    xmax -= xmin;
+    float* k = &weights[static_cast<size_t>(xx) * ksize];
+    double ww = 0.0;
+    for (int x = 0; x < xmax; ++x) {
+      const double arg = (x + xmin - center + 0.5) * ss;
+      const double a = arg < 0 ? -arg : arg;
+      const double w = a < 1.0 ? 1.0 - a : 0.0;
+      k[x] = static_cast<float>(w);
+      ww += w;
+    }
+    if (ww != 0.0) {
+      for (int x = 0; x < xmax; ++x) k[x] = static_cast<float>(k[x] / ww);
+    }
+    xmins[xx] = xmin;
+    xmaxs[xx] = xmax;
+  }
+}
+
 void resize_bilinear_u8(const uint8_t* src, int sh, int sw, uint8_t* dst,
                         int dh, int dw, int ch) {
-  const float ry = dh > 1 ? static_cast<float>(sh - 1) / (dh - 1) : 0.f;
-  const float rx = dw > 1 ? static_cast<float>(sw - 1) / (dw - 1) : 0.f;
-  for (int y = 0; y < dh; ++y) {
-    const float fy = y * ry;
-    const int y0 = static_cast<int>(fy);
-    const int y1 = std::min(y0 + 1, sh - 1);
-    const float wy = fy - y0;
-    const uint8_t* row0 = src + static_cast<size_t>(y0) * sw * ch;
-    const uint8_t* row1 = src + static_cast<size_t>(y1) * sw * ch;
-    uint8_t* out = dst + static_cast<size_t>(y) * dw * ch;
+  std::vector<int> xmins, xmaxs, ymins, ymaxs;
+  std::vector<float> xw, yw;
+  int xk = 0, yk = 0;
+  compute_triangle_weights(sw, dw, xmins, xmaxs, xw, xk);
+  compute_triangle_weights(sh, dh, ymins, ymaxs, yw, yk);
+
+  // horizontal pass: (sh, sw, ch) u8 -> (sh, dw, ch) float
+  std::vector<float> tmp(static_cast<size_t>(sh) * dw * ch);
+  for (int y = 0; y < sh; ++y) {
+    const uint8_t* row = src + static_cast<size_t>(y) * sw * ch;
+    float* out = tmp.data() + static_cast<size_t>(y) * dw * ch;
     for (int x = 0; x < dw; ++x) {
-      const float fx = x * rx;
-      const int x0 = static_cast<int>(fx);
-      const int x1 = std::min(x0 + 1, sw - 1);
-      const float wx = fx - x0;
+      const float* k = &xw[static_cast<size_t>(x) * xk];
+      const int xmin = xmins[x], xmax = xmaxs[x];
       for (int c = 0; c < ch; ++c) {
-        const float top =
-            row0[x0 * ch + c] * (1.f - wx) + row0[x1 * ch + c] * wx;
-        const float bot =
-            row1[x0 * ch + c] * (1.f - wx) + row1[x1 * ch + c] * wx;
-        out[x * ch + c] =
-            static_cast<uint8_t>(top * (1.f - wy) + bot * wy + 0.5f);
+        float acc = 0.f;
+        for (int i = 0; i < xmax; ++i)
+          acc += row[(xmin + i) * ch + c] * k[i];
+        out[x * ch + c] = acc;
       }
+    }
+  }
+  // vertical pass: (sh, dw, ch) float -> (dh, dw, ch) u8
+  for (int y = 0; y < dh; ++y) {
+    const float* k = &yw[static_cast<size_t>(y) * yk];
+    const int ymin = ymins[y], ymax = ymaxs[y];
+    uint8_t* out = dst + static_cast<size_t>(y) * dw * ch;
+    for (int x = 0; x < dw * ch; ++x) {
+      float acc = 0.f;
+      for (int i = 0; i < ymax; ++i)
+        acc += tmp[static_cast<size_t>(ymin + i) * dw * ch + x] * k[i];
+      const float v = acc + 0.5f;
+      out[x] = v <= 0.f ? 0 : (v >= 255.f ? 255 : static_cast<uint8_t>(v));
     }
   }
 }

@@ -80,6 +80,18 @@ def available() -> bool:
 
 
 MAX_SIDE = 8192
+_tls = threading.local()
+
+
+def _scratch() -> np.ndarray:
+    """Per-thread reusable decode buffer (96 MB): allocating it per call
+    churned the allocator/page tables in the hot data-loading path. The
+    decoded view is .copy()'d before returning, so reuse is safe."""
+    buf = getattr(_tls, "scratch", None)
+    if buf is None:
+        buf = np.empty((MAX_SIDE, MAX_SIDE // 2, 3), np.uint8)
+        _tls.scratch = buf
+    return buf
 
 
 def jpeg_decode(data: bytes) -> Optional[np.ndarray]:
@@ -88,7 +100,7 @@ def jpeg_decode(data: bytes) -> Optional[np.ndarray]:
     lib = _load()
     if lib is None:
         return None
-    buf = np.empty((MAX_SIDE, MAX_SIDE // 2, 3), np.uint8)  # 96MB scratch
+    buf = _scratch()
     h = ctypes.c_int()
     w = ctypes.c_int()
     rc = lib.igd_jpeg_decode(
