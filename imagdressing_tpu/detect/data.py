@@ -114,6 +114,10 @@ class CocoDetectionData:
                 ) -> Iterator[Dict[str, np.ndarray]]:
         """Yields stacked batch dicts; shuffled per epoch when rng given.
         The trailing partial batch is wrapped around (static shapes)."""
+        if not self.ids:
+            raise ValueError(
+                "empty dataset: the annotation json lists no usable images"
+            )
         epoch = 0
         while epochs is None or epoch < epochs:
             order = list(self.ids)

@@ -54,6 +54,14 @@ def detection_loss(
     gt_boxes = batch["gt_boxes"].astype(jnp.float32)
     gt_valid = batch["gt_valid"].astype(bool)
     gt_masks = batch["gt_masks"]
+    # padding/invalid gt slots are (0,0,0,0): encode_boxes would take
+    # log(0/..) = -inf there, and inf * 0 loss-weight = NaN. Substitute a
+    # finite unit box — matching masks invalid gts out via `gt_valid`, and
+    # the per-anchor loss weights already zero their contribution.
+    gt_boxes = jnp.where(
+        gt_valid[..., None], gt_boxes,
+        jnp.asarray([0.0, 0.0, 1.0, 1.0], gt_boxes.dtype),
+    )
     b, h, w = images.shape[:3]
     g = gt_boxes.shape[1]
 

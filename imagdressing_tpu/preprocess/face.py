@@ -35,7 +35,11 @@ def face_embeds_from_image(path: str):
                        providers=["CPUExecutionProvider"])
     app.prepare(ctx_id=0, det_size=(640, 640))
     image = cv2.imread(path)
+    if image is None:
+        raise FileNotFoundError(f"unreadable face image: {path}")
     faces = app.get(image)
+    if not faces:
+        raise ValueError(f"no face detected in {path}")
     faceid = faces[0].normed_embedding[None].astype(np.float32)
     crop = face_align.norm_crop(image, landmark=faces[0].kps, image_size=224)
     crop_rgb = crop[:, :, ::-1]

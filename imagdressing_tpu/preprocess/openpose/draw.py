@@ -34,10 +34,13 @@ def draw_bodypose(
 ) -> np.ndarray:
     """-> (height, width, 3) uint8 RGB pose render."""
     kps = np.asarray(keypoints, np.float64).copy()
+    # missing joints are the EXACT [0, 0] sentinel — test before scaling
+    # (a <=1.0 heuristic after scaling to a small canvas would drop real
+    # joints that land near the top-left corner)
+    present = ~np.all(kps == 0.0, axis=1)
     sw, sh = src_size if src_size else (width, height)
     kps[:, 0] *= width / sw
     kps[:, 1] *= height / sh
-    present = ~np.all(kps <= 1.0, axis=1)
 
     canvas = np.zeros((height, width, 3), np.uint8)
     for li, (a, b) in enumerate(LIMB_SEQ[:17]):

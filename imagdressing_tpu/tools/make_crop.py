@@ -51,9 +51,11 @@ def crop_image_instances(
     overlap_threshold: float = 0.5,
     conf_thres: float = 0.5,
 ):
-    """-> (item dict for crop.json, [(crop_name, crop_rgb)], panoptic map).
+    """-> (item dict for crop.json, [(crop_name, crop_img)], panoptic map).
 
-    `instances` must be score-descending (the detector contract)."""
+    `instances` must be score-descending (the detector contract). Crops
+    keep the CHANNEL ORDER of `image` verbatim — run() passes cv2 BGR and
+    writes with cv2.imwrite; pass RGB only if you also consume RGB."""
     img_h, img_w = image.shape[:2]
     if instances:
         masks = np.stack([i["segmentation"] for i in instances], axis=-1)

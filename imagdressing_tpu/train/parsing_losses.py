@@ -25,13 +25,35 @@ def cross_entropy_2d(
     logits: jnp.ndarray,  # (B, H, W, C)
     labels: jnp.ndarray,  # (B, H, W) int
     ignore_index: int = 255,
+    class_weights: Optional[jnp.ndarray] = None,  # (C,)
+    axis_name: Optional[str] = None,
 ) -> jnp.ndarray:
+    """Per-pixel CE with ignore index; `class_weights` reproduces torch
+    CrossEntropyLoss(weight=...) semantics (weighted mean: sum of weighted
+    NLL / sum of per-pixel weights).
+
+    Under shard_map pass `axis_name`: numerator/denominator aggregate over
+    the data axis so the per-device value — after the caller's pmean over
+    the total loss — equals the full-batch CE exactly (per-shard weighted
+    means don't average to the global weighted mean)."""
     valid = labels != ignore_index
     safe = jnp.where(valid, labels, 0)
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    if class_weights is not None:
+        wpix = class_weights.astype(jnp.float32)[safe]
+        nll = nll * wpix
+        denom = jnp.sum(jnp.where(valid, wpix, 0.0))
+    else:
+        denom = jnp.sum(valid).astype(jnp.float32)
     nll = jnp.where(valid, nll, 0.0)
-    return jnp.sum(nll) / jnp.maximum(jnp.sum(valid), 1)
+    num = jnp.sum(nll)
+    if axis_name is not None:
+        denom = jax.lax.psum(denom, axis_name)
+        # pre-scale by the axis size: the caller pmeans the total loss,
+        # which divides back — net effect sum(num_i) / global_denom
+        num = num * jax.lax.psum(1.0, axis_name)
+    return num / jnp.maximum(denom, 1e-8)
 
 
 def _lovasz_grad(gt_sorted: jnp.ndarray) -> jnp.ndarray:
@@ -89,14 +111,28 @@ def soft_dice_loss(
 
 
 def kl_consistency(
-    logits_a: jnp.ndarray, logits_b: jnp.ndarray, temperature: float = 1.0
+    input_logits: jnp.ndarray,   # current model (B, H, W, C)
+    target_logits: jnp.ndarray,  # schp-averaged soft target
+    labels: Optional[jnp.ndarray] = None,  # (B, H, W) for ignore filtering
+    temperature: float = 1.0,
+    ignore_index: int = 255,
 ) -> jnp.ndarray:
-    """KL(p_a || p_b) per pixel, mean — SCHP's self-correction consistency
-    term between the current model and the schp-averaged model."""
-    la = jax.nn.log_softmax(logits_a.astype(jnp.float32) / temperature, -1)
-    lb = jax.nn.log_softmax(logits_b.astype(jnp.float32) / temperature, -1)
-    pa = jnp.exp(la)
-    return jnp.mean(jnp.sum(pa * (la - lb), axis=-1))
+    """Reference KLDivergenceLoss (utils/kl_loss.py:34-44):
+    T^2 * F.kl_div(log_softmax(input/T), softmax(target/T)) over the
+    non-ignored pixels — KL(TARGET || input), element-mean reduction
+    (divides by valid_pixels * C, torch's kl_div default)."""
+    t = temperature
+    li = jax.nn.log_softmax(input_logits.astype(jnp.float32) / t, -1)
+    lt = jax.nn.log_softmax(target_logits.astype(jnp.float32) / t, -1)
+    pt = jnp.exp(lt)
+    elem = pt * (lt - li)  # target-direction KL, per element
+    if labels is not None:
+        valid = (labels != ignore_index)[..., None].astype(jnp.float32)
+        elem = elem * valid
+        denom = jnp.maximum(jnp.sum(valid) * elem.shape[-1], 1.0)
+    else:
+        denom = elem.size
+    return t * t * jnp.sum(elem) / denom
 
 
 def schp_criterion(
@@ -109,14 +145,38 @@ def schp_criterion(
     edge_weight: float = 1.0,
     prev_fusion_logits: Optional[jnp.ndarray] = None,
     cycle_weight: float = 0.0,
+    axis_name: Optional[str] = None,
 ) -> jnp.ndarray:
-    """Combined SCHP objective: CE + Lovász on parsing, CE on edges, and the
-    optional self-correction KL against the previous cycle's predictions."""
-    loss = cross_entropy_2d(fusion_logits, labels)
+    """Combined SCHP objective (reference CriterionAll.parsing_loss,
+    utils/criterion.py:40-103): CE + Lovász on parsing, pos/neg-weighted CE
+    on edges, and the optional self-correction KL against the previous
+    cycle's soft predictions.
+
+    Deviation note: the reference also adds lambda_3 * ConsistencyLoss, but
+    that term is identically ZERO by construction — it smooth-l1-compares
+    generated vs predicted edges restricted to pixels where BOTH are 1
+    (consistency_loss.py:32-33), so both operands are the constant 1.
+    Omitted here; documented rather than reproduced as dead compute."""
+    loss = cross_entropy_2d(fusion_logits, labels, axis_name=axis_name)
     loss += lovasz_weight * lovasz_softmax(fusion_logits, labels)
-    loss += edge_weight * cross_entropy_2d(edge_logits, edge_labels)
+    # edge CE weighting (criterion.py:53-58): the minority edge class is
+    # upweighted by the complementary class frequency (GLOBAL counts under
+    # shard_map — per-shard ratios would disagree with the full batch)
+    ev = (edge_labels != 255)
+    pos = jnp.sum((edge_labels == 1) & ev).astype(jnp.float32)
+    neg = jnp.sum((edge_labels == 0) & ev).astype(jnp.float32)
+    if axis_name is not None:
+        pos = jax.lax.psum(pos, axis_name)
+        neg = jax.lax.psum(neg, axis_name)
+    tot = jnp.maximum(pos + neg, 1.0)
+    edge_w = jnp.stack([pos / tot, neg / tot])  # [w_class0, w_class1]
+    loss += edge_weight * cross_entropy_2d(
+        edge_logits, edge_labels, class_weights=edge_w, axis_name=axis_name
+    )
     if prev_fusion_logits is not None and cycle_weight > 0:
-        loss += cycle_weight * kl_consistency(fusion_logits, prev_fusion_logits)
+        loss += cycle_weight * kl_consistency(
+            fusion_logits, prev_fusion_logits, labels
+        )
     return loss
 
 

@@ -130,6 +130,7 @@ def make_parsing_train_step(
         loss = parsing_losses.schp_criterion(
             fusion, edge, labels, edges,
             lovasz_weight=cfg.lovasz_weight, edge_weight=cfg.edge_weight,
+            axis_name=axis_name,
         )
         new_params = _update_running_stats(params, ctx.stats, cfg.bn_momentum)
         return loss, new_params
