@@ -58,17 +58,29 @@ def build_argparser() -> argparse.ArgumentParser:
     return p
 
 
+def _leaf_key(path) -> str:
+    return "/".join(
+        str(getattr(p, "key", getattr(p, "idx", p))) for p in path
+    )
+
+
 def _load_params(path: str, num_classes: int):
+    import jax
+
     from imagdressing_tpu.preprocess.parsing import model as schp
 
     if path.endswith(".npz"):
-        import jax
-
         flat = np.load(path)
         template = schp.init(jax.random.PRNGKey(0), num_classes=num_classes)
-        leaves, tree = jax.tree.flatten(template)
-        return jax.tree.unflatten(
-            tree, [flat[f"p{i}"] for i in range(len(leaves))]
+        if "p0" in flat.files:  # legacy index-keyed format
+            leaves, tree = jax.tree.flatten(template)
+            return jax.tree.unflatten(
+                tree, [flat[f"p{i}"] for i in range(len(leaves))]
+            )
+        # key-path format: robust to tree-order changes, and a wrong
+        # --num_classes fails loudly instead of mis-binding leaves
+        return jax.tree_util.tree_map_with_path(
+            lambda p, leaf: flat[_leaf_key(p)], template
         )
     from imagdressing_tpu.convert.torch_sd import load_torch_file
 
@@ -78,10 +90,12 @@ def _load_params(path: str, num_classes: int):
 def _save_params(path: str, params):
     import jax
 
-    leaves = jax.tree.leaves(params)
-    np.savez_compressed(
-        path, **{f"p{i}": np.asarray(v) for i, v in enumerate(leaves)}
+    named = {}
+    jax.tree_util.tree_map_with_path(
+        lambda p, leaf: named.__setitem__(_leaf_key(p), np.asarray(leaf)),
+        params,
     )
+    np.savez_compressed(path, **named)
 
 
 def run_train(args) -> None:
@@ -141,7 +155,6 @@ def run_eval(args) -> float:
     import jax.numpy as jnp
 
     from imagdressing_tpu.preprocess.parsing import model as schp
-    from imagdressing_tpu.train.parsing_losses import mean_iou
     from imagdressing_tpu.train.parsing_train import ParsingDataset
 
     params = _load_params(args.restore, args.num_classes)
@@ -150,18 +163,37 @@ def run_eval(args) -> float:
 
     import functools
 
+    from imagdressing_tpu.preprocess.parsing.infer import (
+        upsample_align_corners,
+    )
+
     @functools.partial(jax.jit, static_argnames=("h", "w"))
     def logits_at(params, image, h, w):
         fusion, _ = schp.apply(params, image, args.num_classes)
-        return jax.image.resize(
-            fusion.astype(jnp.float32),
-            (image.shape[0], h, w, args.num_classes), "bilinear",
-        )
+        # align_corners=True grid like the reference eval (nn.Upsample) —
+        # jax.image.resize's half-pixel grid shifts boundaries ~1.5 px
+        return upsample_align_corners(fusion.astype(jnp.float32), h, w)
+
+    # left/right class pairs swapped for the flipped pass (reference
+    # global_local_evaluate.py multi_scale_testing): LIP/CIHP-20 swaps
+    # arms/legs/shoes 14..19; ATR-18 swaps shoes/legs/arms 9..15
+    if args.num_classes == 20:
+        flip_pairs = [(14, 15), (16, 17), (18, 19)]
+    elif args.num_classes == 18:
+        flip_pairs = [(9, 10), (12, 13), (14, 15)]
+    else:
+        flip_pairs = []
+    flip_perm = np.arange(args.num_classes)
+    for a_cls, b_cls in flip_pairs:
+        flip_perm[a_cls], flip_perm[b_cls] = b_cls, a_cls
 
     ds = ParsingDataset(args.image_dir, args.label_dir, h=size, w=size)
     if args.save_dir:
         os.makedirs(args.save_dir, exist_ok=True)
-    ious = []
+    # one dataset-wide confusion matrix (reference utils/miou.py
+    # compute_mean_ioU) — per-image mIoU means are not comparable
+    confusion = np.zeros((args.num_classes, args.num_classes), np.int64)
+    n_img = 0
     for i in range(len(ds)):
         s = ds.get(i)
         acc = np.zeros((size, size, args.num_classes), np.float32)
@@ -172,22 +204,32 @@ def run_eval(args) -> float:
             acc += np.asarray(logits_at(params, jnp.asarray(img), size,
                                         size))[0]
             if args.flip:
-                acc += np.asarray(
+                flipped = np.asarray(
                     logits_at(params, jnp.asarray(img[:, :, ::-1]), size,
                               size)
                 )[0, :, ::-1]
+                acc += flipped[:, :, flip_perm]
         pred = np.argmax(acc, axis=-1).astype(np.int32)
-        ious.append(
-            float(mean_iou(jnp.asarray(pred), jnp.asarray(s["label"]),
-                           args.num_classes))
-        )
+        label = np.asarray(s["label"])
+        valid = label != 255
+        confusion += np.bincount(
+            (label[valid].astype(np.int64) * args.num_classes
+             + pred[valid]),
+            minlength=args.num_classes * args.num_classes,
+        ).reshape(args.num_classes, args.num_classes)
+        n_img += 1
         if args.save_dir:
             cv2.imwrite(
                 os.path.join(args.save_dir, f"{ds.ids[i]}.png"),
                 pred.astype(np.uint8),
             )
-    miou = float(np.mean(ious)) if ious else 0.0
-    print(f"mean IoU over {len(ious)} images: {miou:.4f}")
+    tp = np.diag(confusion).astype(np.float64)
+    denom = confusion.sum(0) + confusion.sum(1) - np.diag(confusion)
+    present = denom > 0
+    miou = float(
+        np.mean(tp[present] / denom[present])
+    ) if present.any() else 0.0
+    print(f"mean IoU over {n_img} images: {miou:.4f}")
     return miou
 
 

@@ -62,22 +62,27 @@ def _box_center_scale(w, h, aspect):
     return center, np.array([bw, bh], np.float32)
 
 
+def upsample_align_corners(x: jnp.ndarray, out_h: int,
+                           out_w: int) -> jnp.ndarray:
+    """torch Upsample(mode='bilinear', align_corners=True) grid (the
+    reference's parsing upsample): in = o*(n-1)/(N-1). jax.image.resize's
+    'bilinear' uses half-pixel centers, which shifts label boundaries
+    ~1.5 px; scale_and_translate with s=(N-1)/(n-1), t=0.5-0.5s reproduces
+    the align-corners grid exactly (verified vs torch to 1e-6)."""
+    b, n_h, n_w, c = x.shape
+    s = jnp.array(
+        [(out_h - 1) / (n_h - 1), (out_w - 1) / (n_w - 1)], jnp.float32
+    )
+    return jax.image.scale_and_translate(
+        x, (b, out_h, out_w, c), (1, 2), s, 0.5 - 0.5 * s,
+        method="linear", antialias=False,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("num_classes", "size"))
 def _forward(params, image, num_classes: int, size: int):
     fusion, _ = schp.apply(params, image, num_classes)
-    # torch Upsample(align_corners=True) grid (the reference's
-    # parsing upsample): in = o*(n-1)/(N-1). jax.image.resize's 'bilinear'
-    # uses half-pixel centers, which shifts label boundaries ~1.5 px;
-    # scale_and_translate with s=(N-1)/(n-1), t=0.5-0.5s reproduces the
-    # align-corners grid exactly (verified vs torch to 1e-6).
-    n_h, n_w = fusion.shape[1:3]
-    s = jnp.array(
-        [(size - 1) / (n_h - 1), (size - 1) / (n_w - 1)], jnp.float32
-    )
-    return jax.image.scale_and_translate(
-        fusion, (1, size, size, fusion.shape[-1]), (1, 2), s, 0.5 - 0.5 * s,
-        method="linear", antialias=False,
-    )
+    return upsample_align_corners(fusion, size, size)
 
 
 def _fill_holes(mask255: np.ndarray) -> np.ndarray:

@@ -137,6 +137,13 @@ def apply(params: Params, image: jnp.ndarray, num_classes: int,
     (train/parsing_train.py)."""
     import functools
 
+    # the logit width comes from the params; a mismatched num_classes must
+    # fail loudly, not be silently ignored
+    actual = params["fushion"]["conv2"]["kernel"].shape[-1]
+    assert actual == num_classes, (
+        f"params produce {actual} classes, caller expects {num_classes}"
+    )
+
     _conv_abn_ = functools.partial(_conv_abn, ctx=bn_ctx)
     _bottleneck_ = functools.partial(_bottleneck, ctx=bn_ctx)
     x = _conv_abn_(params["conv1"], params["bn1"], image, stride=2,

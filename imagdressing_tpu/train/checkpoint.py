@@ -45,13 +45,18 @@ class CheckpointManager:
         step = self._mgr.latest_step()
         if step is None:
             return None, None
-        restored = self._mgr.restore(
-            step,
-            args=ocp.args.Composite(
-                state=ocp.args.StandardRestore(state_template)
-            ),
-        )
-        return restored["state"], None
+        # the checkpoint may or may not carry the 'extra' JSON item (save()
+        # only writes it when given one) — request it when present
+        items = {"state": ocp.args.StandardRestore(state_template)}
+        try:
+            present = self._mgr.item_metadata(step)
+            has_extra = present is not None and "extra" in present
+        except Exception:
+            has_extra = False
+        if has_extra:
+            items["extra"] = ocp.args.JsonRestore()
+        restored = self._mgr.restore(step, args=ocp.args.Composite(**items))
+        return restored["state"], restored.get("extra")
 
     def wait(self):
         self._mgr.wait_until_finished()
