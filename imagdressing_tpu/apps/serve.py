@@ -59,7 +59,9 @@ class InferenceWorker:
     `post_process(img01, payload) -> img01` runs on every decoded image —
     the seam for the reference's modelscope face-fusion step
     (/root/reference/app.py:172,244-252): plug a face-swap/blend callable
-    here without touching the device worker.
+    here without touching the device worker. The hook always sees float32
+    [0, 1] (the worker converts around the uint8 device transport); the
+    worker's `result["image"]` is uint8 HxWx3 in [0, 255].
     """
 
     def __init__(self, pipe, tokenizer, *, max_batch: int = 4,
@@ -147,7 +149,14 @@ class InferenceWorker:
                 for i, r in enumerate(batch):
                     img = out[i]
                     if self.post_process is not None:
-                        img = self.post_process(img, r.payload)
+                        # the hook contract is float [0,1] regardless of the
+                        # device-transport dtype (uint8 readback above)
+                        img01 = (img.astype(np.float32) / 255.0
+                                 if img.dtype == np.uint8 else img)
+                        img01 = self.post_process(img01, r.payload)
+                        img = np.clip(
+                            np.asarray(img01, np.float32) * 255.0, 0, 255
+                        ).round().astype(np.uint8)
                     r.result = {"image": img, "latency_s": dt}
                     r.event.set()
             except Exception as e:  # noqa: BLE001 — report errors per request
@@ -350,7 +359,10 @@ def run_gradio(worker: InferenceWorker, preset, port: int):
         result = worker.submit(payload)
         if "error" in result:
             raise RuntimeError(result["error"])
-        return (np.clip(result["image"], 0, 1) * 255).astype(np.uint8)
+        img = result["image"]  # uint8 HxWx3 (worker contract)
+        if img.dtype != np.uint8:
+            img = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+        return img
 
     demo = gr.Interface(
         fn=dress,

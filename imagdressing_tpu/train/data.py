@@ -188,6 +188,31 @@ class IGPairDataset:
         }
 
 
+def shard_epoch_indices(
+    order: np.ndarray,
+    process_index: int,
+    process_count: int,
+    batch_size: int,
+) -> np.ndarray:
+    """Per-rank epoch indices, padded so EVERY rank yields the SAME number of
+    batches (DistributedSampler semantics; reference train.py:416-421).
+
+    The pad target is computed from the LONGEST rank's shard — not the local
+    one — otherwise len(order) % process_count crossing a batch boundary
+    (e.g. N=13, pc=4, bs=1 -> 4/3/3/3) lets short ranks slip into the next
+    epoch's permutation and an epoch-synchronized consumer deadlocks. Short
+    shards wrap-tile their own indices.
+    """
+    local = order[process_index::process_count]
+    max_len = max(1, -(-len(order) // process_count))  # longest rank's shard
+    need = max(1, -(-max_len // batch_size)) * batch_size
+    if len(local) == 0:
+        local = order[:1] if len(order) else np.zeros((1,), np.int64)
+    if need > len(local):
+        local = np.tile(local, -(-need // len(local)))[:need]
+    return local
+
+
 def data_iterator(
     dataset: IGPairDataset,
     batch_size: int,
@@ -211,15 +236,9 @@ def data_iterator(
             order = np.arange(n)
             if shuffle:
                 np.random.default_rng(seed + epoch).shuffle(order)
-            local = order[process_index::process_count]
-            # pad short shards by wrapping (DistributedSampler semantics):
-            # every process MUST yield the same number of batches per epoch
-            # or the SPMD train step deadlocks on the short rank
-            if len(local) == 0:
-                local = order[:1]
-            need = max(1, -(-len(local) // batch_size)) * batch_size
-            if need > len(local):
-                local = np.tile(local, -(-need // len(local)))[:need]
+            local = shard_epoch_indices(
+                order, process_index, process_count, batch_size
+            )
             for start in range(0, len(local) - batch_size + 1, batch_size):
                 idxs = local[start : start + batch_size]
                 futs = [pool.submit(dataset.get, int(i), epoch) for i in idxs]

@@ -224,6 +224,33 @@ def test_igpair_dataset(tmp_path):
     assert batch["text_ids"].shape == (2, 77)
 
 
+def test_shard_epoch_indices_equal_batches_per_rank():
+    """Every rank yields the SAME number of batches per epoch even when
+    len(dataset) % process_count crosses a batch boundary (ADVICE r2:
+    N=13, pc=4, bs=1 used to give 4/3/3/3 and drift ranks across epochs)."""
+    from imagdressing_tpu.train.data import shard_epoch_indices
+
+    for n, pc, bs in [(13, 4, 1), (13, 4, 2), (7, 3, 4), (2, 4, 1),
+                      (16, 4, 2), (5, 8, 3)]:
+        order = np.arange(n)
+        shards = [shard_epoch_indices(order, r, pc, bs) for r in range(pc)]
+        lens = {len(s) for s in shards}
+        assert len(lens) == 1, (n, pc, bs, [len(s) for s in shards])
+        (length,) = lens
+        assert length % bs == 0
+        # full-epoch coverage: every index appears on exactly one rank
+        own = np.concatenate(
+            [np.unique(s) for s in shards]
+        )
+        assert set(own) == set(range(n)) if n >= pc else set(own) <= set(
+            range(n)
+        )
+        # wrap-padding only repeats a rank's own indices
+        for r, s in enumerate(shards):
+            base = set(order[r::pc]) or {order[0]}
+            assert set(s) <= base
+
+
 def test_cfg_dropout_statistics(tmp_path):
     from PIL import Image
 

@@ -111,7 +111,9 @@ def test_post_process_hook():
     a = plain.submit(dict(payload))
     b = hooked.submit(dict(payload))
     assert "error" not in a and "error" not in b
-    np.testing.assert_allclose(b["image"], 1.0 - a["image"], atol=1e-6)
+    # worker images are uint8; the hook saw float01 (contract) and inverted
+    assert a["image"].dtype == np.uint8 and b["image"].dtype == np.uint8
+    np.testing.assert_array_equal(b["image"], 255 - a["image"])
 
 
 def test_load_post_process_spec():
@@ -160,9 +162,18 @@ def test_worker_face_fusion_end_to_end():
     a = plain.submit(dict(payload))
     b = hooked.submit(dict(payload))
     assert "error" not in a and "error" not in b
-    # center comes from the (white) fused face; corners untouched
-    assert b["image"][32, 32].mean() > 0.8
-    np.testing.assert_allclose(b["image"][2, 2], a["image"][2, 2], atol=1e-5)
+    # worker contract: uint8 [0,255] images
+    assert a["image"].dtype == np.uint8 and b["image"].dtype == np.uint8
+    # center comes from the (white) fused face and must differ from the
+    # plain render; corners untouched
+    assert b["image"][32, 32].mean() > 0.8 * 255
+    assert b["image"][32, 32].mean() > a["image"][32, 32].mean() or (
+        a["image"][32, 32].mean() > 0.8 * 255
+    )
+    np.testing.assert_allclose(
+        b["image"][2, 2].astype(np.int32),
+        a["image"][2, 2].astype(np.int32), atol=1,
+    )
 
 
 def test_gradio_ui_clear_error_when_missing():
