@@ -164,6 +164,7 @@ class DressingPipeline:
         self.preset = preset
         self.schedule = ddim.make_schedule(sched_cfg)
         self.mesh = mesh
+        self._tensor_parallel = False
         jit_kwargs: Dict[str, Any] = {}
         if mesh is not None:
             from imagdressing_tpu.core import mesh as mesh_lib
@@ -171,7 +172,8 @@ class DressingPipeline:
             repl = mesh_lib.replicated(mesh)
             bsh = mesh_lib.batch_sharding(mesh)
             self._data_size = mesh.shape[mesh_lib.DATA_AXIS]
-            if mesh.shape[mesh_lib.MODEL_AXIS] > 1:
+            self._tensor_parallel = mesh.shape[mesh_lib.MODEL_AXIS] > 1
+            if self._tensor_parallel:
                 # tensor-parallel serving: both UNet roles column/row-split
                 # over the model axis (core/tp.py rules), everything else
                 # replicated; XLA inserts the all-gathers over ICI.
@@ -209,8 +211,8 @@ class DressingPipeline:
         )
 
         # positional static args: pjit rejects kwargs when in_shardings is set
-        def gen_pos(params, inputs, scalars, num_inference_steps,
-                    output_uint8):
+        def gen_one_device(params, inputs, scalars, num_inference_steps,
+                           output_uint8):
             out = gen(params, inputs, scalars,
                       num_inference_steps=num_inference_steps)
             if output_uint8:
@@ -218,6 +220,36 @@ class DressingPipeline:
                 # a PNG/JPEG encoder would apply anyway
                 out = jnp.round(out * 255.0).astype(jnp.uint8)
             return out
+
+        if mesh is not None and not self._tensor_parallel:
+            # Pure data parallelism: _generate has no cross-device math
+            # anywhere (params replicated, batch split), so run the
+            # PER-DEVICE program inside shard_map — the single-chip jit,
+            # Pallas flash/GroupNorm kernels included — instead of letting
+            # the pjit partitioner see the opaque custom calls (which have
+            # no SPMD rule and would silently fall back to the XLA paths;
+            # kernels/__init__.py). Same pattern as train.shard_train_step.
+            # This is what makes the single-chip bench latency compose with
+            # N chips at fleet scale.
+            from jax.sharding import PartitionSpec as P
+
+            from imagdressing_tpu.core import mesh as mesh_lib
+
+            def gen_pos(params, inputs, scalars, num_inference_steps,
+                        output_uint8):
+                return jax.shard_map(
+                    functools.partial(
+                        gen_one_device,
+                        num_inference_steps=num_inference_steps,
+                        output_uint8=output_uint8,
+                    ),
+                    mesh=mesh,
+                    in_specs=(P(), P(mesh_lib.DATA_AXIS), P()),
+                    out_specs=P(mesh_lib.DATA_AXIS),
+                    check_vma=False,
+                )(params, inputs, scalars)
+        else:
+            gen_pos = gen_one_device
 
         self._jitted = jax.jit(gen_pos, static_argnums=(3, 4), **jit_kwargs)
 
@@ -291,9 +323,10 @@ class DressingPipeline:
             "person_image": None if person_image is None else jnp.asarray(person_image),
             "mask_image": None if mask_image is None else jnp.asarray(mask_image),
         }
-        if self.mesh is not None and self.mesh.size > 1:
-            # multi-device pjit: trace with the partitionable XLA paths
-            # (Pallas custom calls have no SPMD rule — kernels/__init__.py)
+        if self._tensor_parallel and self.mesh.size > 1:
+            # tensor-parallel pjit: trace with the partitionable XLA paths
+            # (Pallas custom calls have no SPMD rule — kernels/__init__.py).
+            # The pure-DP mesh path runs shard_map and KEEPS the kernels.
             import imagdressing_tpu.kernels as kernels_lib
 
             with kernels_lib.pallas_disabled():
