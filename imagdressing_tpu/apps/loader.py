@@ -147,6 +147,56 @@ def load_dressing_models(
     return models
 
 
+def restore_trained_params(ckpt_dir: str):
+    """Latest orbax checkpoint dir -> the trainable param pytree
+    {ref_unet, ref_adapters, resampler} (raw numpy, host memory).
+
+    This is the serve-side half of the train->serve loop: training writes
+    TrainState via train.checkpoint.CheckpointManager; inference needs only
+    `.params` (the reference reads the analogous DeepSpeed artifact at
+    inference_IMAGdressing.py:96-117)."""
+    import orbax.checkpoint as ocp
+
+    mgr = ocp.CheckpointManager(os.path.abspath(ckpt_dir))
+    step = mgr.latest_step()
+    if step is None:
+        raise FileNotFoundError(f"no orbax checkpoint under {ckpt_dir}")
+    restored = mgr.restore(
+        step, args=ocp.args.Composite(state=ocp.args.StandardRestore())
+    )
+    mgr.close()
+    state = restored["state"]
+    params = state["params"] if isinstance(state, dict) else state.params
+    missing = {"ref_unet", "ref_adapters", "resampler"} - set(params)
+    if missing:
+        raise KeyError(
+            f"checkpoint at {ckpt_dir} lacks trainable subtrees {missing}"
+        )
+    return params
+
+
+def merge_trained_checkpoint(
+    models: DressingModels, ckpt_dir: str
+) -> DressingModels:
+    """Overlay a trained orbax checkpoint's {ref_unet, ref_adapters,
+    resampler} onto a loaded model stack, cast to the stack's compute dtype.
+    The frozen graphs (main UNet, VAE, encoders) keep their base weights —
+    exactly the reference's trainable/frozen split (train.py:371-378)."""
+    import dataclasses
+
+    trained = restore_trained_params(ckpt_dir)
+    compute = models.params["unet"]["conv_in"]["kernel"].dtype
+
+    def cast(a):
+        a = jnp.asarray(a)
+        return a.astype(compute) if jnp.issubdtype(a.dtype, jnp.floating) else a
+
+    new_params = dict(models.params)
+    for k in ("ref_unet", "ref_adapters", "resampler"):
+        new_params[k] = jax.tree.map(cast, trained[k])
+    return dataclasses.replace(models, params=new_params)
+
+
 def _fold_unet_lora(unet_params, lora_attn1, lora_attn2, scale, cfg):
     params = jax.tree.map(lambda x: x, unet_params)  # shallow-ish copy
 
