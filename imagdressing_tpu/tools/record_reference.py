@@ -114,6 +114,7 @@ def record(args) -> None:
         "ref_image_nhwc": ref_image.permute(0, 2, 3, 1).numpy(),
         "clip_pixels_nhwc": clip_pixels.permute(0, 2, 3, 1).numpy(),
         "init_latents_nhwc": latents.permute(0, 2, 3, 1).numpy(),
+        "steps": np.int32(args.steps),  # replay() re-derives the schedule
     }
     with torch.no_grad():
         out["text_embeds"] = text_encoder(prompt_ids)[0].numpy()
@@ -148,6 +149,191 @@ def record(args) -> None:
     print("recorded", sorted(out), "->", args.out)
 
 
+# ---------------------------------------------------------------------------
+# Replay: run the golden's inputs through OUR stack and compare. The weights
+# come from a sibling `<golden>.manifest.json` (or $IMAGDRESSING_GOLDEN_MANIFEST)
+# describing how to build the model stack, so real reference checkpoints are a
+# drop-in: {"kind": "torch", "base_dir": ..., "vae_path": ...,
+# "image_encoder_path": ..., "model_ckpt": ...}.
+# ---------------------------------------------------------------------------
+
+_INPUT_KEYS = ("prompt_ids", "ref_image_nhwc", "clip_pixels_nhwc",
+               "init_latents_nhwc", "steps")
+
+
+def manifest_path_for(golden_path: str) -> str:
+    base = golden_path[:-4] if golden_path.endswith(".npz") else golden_path
+    return base + ".manifest.json"
+
+
+def build_models_from_manifest(manifest: Dict):
+    """-> DressingModels per the manifest's "kind".
+
+    synthetic_small: the deterministic small random stack (gate CI coverage,
+    no weights blob needed). torch: the real converted reference checkpoints
+    in fp32 (parity mode) via apps.loader.
+    """
+    kind = manifest.get("kind")
+    if kind == "synthetic_small":
+        import jax
+
+        from imagdressing_tpu.pipelines.dressing import DressingModels
+
+        return DressingModels.init_random(
+            jax.random.PRNGKey(int(manifest.get("seed", 0))), small=True
+        )
+    if kind == "torch":
+        import jax.numpy as jnp
+
+        from imagdressing_tpu.apps.loader import load_dressing_models
+
+        return load_dressing_models(
+            base_dir=manifest["base_dir"],
+            vae_path=manifest["vae_path"],
+            image_encoder_path=manifest["image_encoder_path"],
+            model_ckpt=manifest.get("model_ckpt"),
+            dtype=jnp.float32,  # fp32 parity mode (kernels switch too)
+        )
+    raise ValueError(f"unknown golden-manifest kind {kind!r}")
+
+
+def compute_with_stack(golden: Dict[str, np.ndarray], models
+                       ) -> Dict[str, np.ndarray]:
+    """Replay the golden's recorded inputs through our stack, producing every
+    RECORD_SPEC tensor the golden carries (same keys, NHWC layouts)."""
+    import jax.numpy as jnp
+
+    from imagdressing_tpu.core.config import SchedulerConfig
+    from imagdressing_tpu.models import clip, resampler as resampler_lib
+    from imagdressing_tpu.models import unet as unet_lib, vae as vae_lib
+    from imagdressing_tpu.samplers import ddim
+
+    p = models.params
+    computed: Dict[str, np.ndarray] = {
+        k: golden[k] for k in _INPUT_KEYS if k in golden
+    }
+    prompt_ids = jnp.asarray(golden["prompt_ids"], jnp.int32)
+    text_embeds = clip.apply_text(p["text"], models.text_cfg, prompt_ids)
+    computed["text_embeds"] = np.asarray(text_embeds, np.float32)
+
+    clip_hidden = None
+    if "clip_pixels_nhwc" in golden:
+        clip_hidden = clip.apply_vision(
+            p["vision"], models.vision_cfg,
+            jnp.asarray(golden["clip_pixels_nhwc"]), penultimate=True,
+        )
+        computed["clip_vision_penult"] = np.asarray(clip_hidden, np.float32)
+    if any(k == "cloth_tokens" or k.startswith("sa_hidden::")
+           for k in golden):
+        cloth_tokens = resampler_lib.apply(
+            p["resampler"], models.resampler_cfg, clip_hidden
+        )
+        computed["cloth_tokens"] = np.asarray(cloth_tokens, np.float32)
+
+    ref_latents = None
+    if "ref_image_nhwc" in golden:
+        ref_latents = vae_lib.encode_mean(
+            p["vae"], models.vae_cfg, jnp.asarray(golden["ref_image_nhwc"])
+        ) * models.vae_cfg.scaling_factor
+        computed["ref_latents_nhwc"] = np.asarray(ref_latents, np.float32)
+    if any(k.startswith("sa_hidden::") for k in golden):
+        # garment capture run at t=0 with cloth tokens (the reference's
+        # CacheAttnProcessor pass, IMAGDressing_v1_pipeline.py:465-479)
+        b = ref_latents.shape[0]
+        _, captured = unet_lib.apply(
+            p["ref_unet"], models.unet_cfg, ref_latents,
+            jnp.zeros((b,), jnp.int32),
+            jnp.asarray(computed["cloth_tokens"]), capture=True,
+        )
+        for name, hidden in captured.items():
+            computed[f"sa_hidden::{name}"] = np.asarray(hidden, np.float32)
+
+    if "eps_step0_nhwc" in golden or "final_latents_nhwc" in golden:
+        steps = int(golden["steps"])
+        sched = ddim.make_schedule(SchedulerConfig())
+        ts = ddim.timesteps(sched, steps)
+        lat0 = jnp.asarray(golden["init_latents_nhwc"], jnp.float32)
+        b = lat0.shape[0]
+
+        def eps_at(lat, t):
+            return unet_lib.apply(
+                p["unet"], models.unet_cfg, lat,
+                jnp.broadcast_to(jnp.asarray(t), (b,)), text_embeds,
+            ).astype(jnp.float32)
+
+        computed["eps_step0_nhwc"] = np.asarray(eps_at(lat0, ts[0]),
+                                                np.float32)
+        if "final_latents_nhwc" in golden:
+            lat = lat0
+            for t in np.asarray(ts):
+                lat = ddim.step(sched, eps_at(lat, t), jnp.asarray(t), lat,
+                                steps)
+            computed["final_latents_nhwc"] = np.asarray(lat, np.float32)
+    return computed
+
+
+def replay(golden_path: str, models=None, *, atol: float = 5e-3,
+           rtol: float = 1e-3) -> Dict[str, float]:
+    """Armed golden gate: build the stack from the golden's manifest (or
+    $IMAGDRESSING_GOLDEN_MANIFEST), replay, and compare. Raises
+    AssertionError on mismatch; FileNotFoundError when no manifest exists."""
+    import os
+
+    golden = dict(np.load(golden_path))
+    if models is None:
+        mpath = os.environ.get("IMAGDRESSING_GOLDEN_MANIFEST",
+                               manifest_path_for(golden_path))
+        if not os.path.exists(mpath):
+            raise FileNotFoundError(
+                f"golden {golden_path} has no weights manifest at {mpath} "
+                "(set IMAGDRESSING_GOLDEN_MANIFEST or drop a "
+                ".manifest.json beside it)"
+            )
+        with open(mpath, "r", encoding="utf-8") as f:
+            models = build_models_from_manifest(json.load(f))
+    computed = compute_with_stack(golden, models)
+    return compare(golden_path, computed, atol=atol, rtol=rtol)
+
+
+def record_synthetic(out_path: str, *, seed: int = 0, steps: int = 4) -> None:
+    """Record a full-surface golden with our OWN small random stack (no
+    diffusers needed — this build image has none). The artifact exercises the
+    identical replay gate a real reference golden flows through, keeping the
+    parity harness armed until real weights can be provisioned."""
+    models = build_models_from_manifest(
+        {"kind": "synthetic_small", "seed": seed}
+    )
+    rng = np.random.default_rng(seed)
+    h = w = 64
+    vs = models.vision_cfg.image_size
+    golden_inputs = {
+        "prompt_ids": rng.integers(
+            0, models.text_cfg.vocab_size, (1, 77)
+        ).astype(np.int32),
+        "ref_image_nhwc": rng.standard_normal((1, h, w, 3)).astype(
+            np.float32
+        ).clip(-1, 1),
+        "clip_pixels_nhwc": rng.standard_normal((1, vs, vs, 3)).astype(
+            np.float32
+        ),
+        "init_latents_nhwc": rng.standard_normal((1, h // 8, w // 8, 4))
+        .astype(np.float32),
+        "steps": np.int32(steps),
+    }
+    # want-keys: compute everything, then save inputs + outputs as the golden
+    want_all = dict(golden_inputs)
+    want_all["eps_step0_nhwc"] = None
+    want_all["final_latents_nhwc"] = None
+    want_all["cloth_tokens"] = None
+    want_all["sa_hidden::_probe"] = None  # triggers the capture pass
+    computed = compute_with_stack(want_all, models)
+    np.savez_compressed(out_path, **computed)
+    mpath = manifest_path_for(out_path)
+    with open(mpath, "w", encoding="utf-8") as f:
+        json.dump({"kind": "synthetic_small", "seed": seed}, f)
+    print("recorded synthetic golden", out_path, "+", mpath)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -165,11 +351,31 @@ def main(argv=None):
     pc.add_argument("--golden", required=True)
     pc.add_argument("--computed", required=True,
                     help=".npz produced by our pipeline with matching keys")
+    pp = sub.add_parser(
+        "replay", help="build the stack from the golden's manifest, replay "
+                       "its inputs through OUR models, and compare"
+    )
+    pp.add_argument("--golden", required=True)
+    ps = sub.add_parser(
+        "record-synthetic",
+        help="record a small-random-stack golden + manifest (arms the gate "
+             "without reference weights)",
+    )
+    ps.add_argument("--out", default="tests/goldens/ref_synthetic_tiny.npz")
+    ps.add_argument("--seed", type=int, default=0)
+    ps.add_argument("--steps", type=int, default=4)
     args = p.parse_args(argv)
     if args.cmd == "spec":
         print(json.dumps(RECORD_SPEC, indent=2))
     elif args.cmd == "record":
         record(args)
+    elif args.cmd == "replay":
+        errors = replay(args.golden)
+        print(json.dumps({k: round(v, 8) for k, v in errors.items()},
+                         indent=2))
+        print("PARITY OK")
+    elif args.cmd == "record-synthetic":
+        record_synthetic(args.out, seed=args.seed, steps=args.steps)
     else:
         computed = dict(np.load(args.computed))
         errors = compare(args.golden, computed)
