@@ -76,7 +76,8 @@ def _profile_device_seconds(run_once, program_prefix: str):
 
 
 def main(batch_size: int = 1, steps: int = 2, height: int = 640,
-         width: int = 512, chain: int = 31, small: bool = False):
+         width: int = 512, chain: int = 31, small: bool = False,
+         remat_policy: str = "full"):
     # NB: `steps` only feeds the informational per-call loop (each call
     # pays the full output-transfer constant); keep it small.
     import jax
@@ -99,7 +100,8 @@ def main(batch_size: int = 1, steps: int = 2, height: int = 640,
     with jax.default_device(jax.devices("cpu")[0]):
         models = DressingModels.init_random(jax.random.PRNGKey(0),
                                             small=small)
-    cfg = TrainConfig(train_batch_size=batch_size, warmup_steps=10)
+    cfg = TrainConfig(train_batch_size=batch_size, warmup_steps=10,
+                      remat_policy=remat_policy)
     from imagdressing_tpu.train.step import split_params
 
     trainable_host, frozen_host = split_params(models.params)
@@ -223,6 +225,7 @@ def main(batch_size: int = 1, steps: int = 2, height: int = 640,
         "value": round(chain_dt if chain_dt else dt, 4),
         "unit": "s/step",
         "batch_per_chip": batch_size,
+        "remat_policy": remat_policy,
         "images_per_sec_per_chip": round(
             batch_size / (chain_dt if chain_dt else dt), 3),
         "loss": float(np.asarray(losses)[-1] if chain_dt else metrics["loss"]),
@@ -250,4 +253,6 @@ if __name__ == "__main__":
         kwargs["batch_size"] = int(sys.argv[3])
     if len(sys.argv) > 4:
         kwargs["chain"] = int(sys.argv[4])
+    if len(sys.argv) > 5:
+        kwargs["remat_policy"] = sys.argv[5]
     main(**kwargs)

@@ -264,6 +264,11 @@ class TrainConfig:
     drop_text_prob: float = 0.05
     drop_both_prob: float = 0.05
     seed: int = 42
+    # UNet activation rematerialization inside the loss: "full" (block
+    # remat, minimum memory), "dots" / "heavy" (selective — see
+    # models.unet.resolve_remat_policy), "none" (no remat; needs the
+    # activation memory but skips all recompute)
+    remat_policy: str = "full"
     # parallelism
     data_axis: str = "data"
     shard_optimizer_states: bool = True  # ZeRO-2 equivalent

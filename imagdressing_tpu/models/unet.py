@@ -27,6 +27,7 @@ from typing import Any, Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from imagdressing_tpu.core.config import UNetConfig
 from imagdressing_tpu.models.conditioning import Conditioning
@@ -256,10 +257,46 @@ def init(rng, cfg: UNetConfig) -> Params:
 # ---------------------------------------------------------------------------
 
 
+def resolve_remat_policy(name: Optional[str]):
+    """Remat-policy knob for training (TrainConfig.remat_policy):
+
+      "full"  (or None) — save nothing inside a block; the whole block
+              forward re-runs in backward. Minimum memory, maximum HBM
+              traffic (~81% of v5e BW at 512x640 b1, 23.8% MFU).
+      "dots"  — save every dot_general output (q/k/v/out projections,
+              proj_in/out, both FF matmuls). Convs + the flash kernel
+              still re-run.
+      "heavy" — "dots" plus the named saves: resnet conv1 outputs and
+              pre-projection attention outputs. The backward recompute
+              then contains NO conv and NO attention kernel — only
+              GroupNorm/LayerNorm/elementwise chains.
+
+    "none" is handled by callers (skip jax.checkpoint entirely).
+    """
+    if name in (None, "full"):
+        return None
+    cp = jax.checkpoint_policies
+    if name == "dots":
+        return cp.dots_saveable
+    if name == "heavy":
+        return cp.save_from_both_policies(
+            cp.dots_saveable,
+            cp.save_only_these_names("rematsave_conv", "rematsave_attn"),
+        )
+    raise ValueError(
+        f"unknown remat policy {name!r} (full | dots | heavy | none)"
+    )
+
+
 def _resnet(p: Params, x: jnp.ndarray, temb: jnp.ndarray, cfg: UNetConfig) -> jnp.ndarray:
     h = group_norm_act(p["norm1"], x, num_groups=cfg.norm_num_groups,
                        eps=cfg.norm_eps, act="silu")
-    h = nn.conv2d(p["conv1"], h, padding=1)
+    # conv1's output is the only intermediate worth saving under selective
+    # remat ("heavy" policy): with it, the backward recompute contains no
+    # convolution at all (GN2's input rebuilds from it in one cheap fused
+    # pass; conv2's own output is never needed — the residual add's VJP is
+    # identity and the block output is a checkpoint boundary).
+    h = checkpoint_name(nn.conv2d(p["conv1"], h, padding=1), "rematsave_conv")
     t = nn.linear(p["time_emb_proj"], nn.silu(temb))
     # +temb, norm2, silu: ONE fused pass (the add folds into the stats)
     h = group_norm_act(p["norm2"], h, num_groups=cfg.norm_num_groups,
@@ -297,7 +334,11 @@ def _self_attention(
             )
     else:
         out = attn_ops.attention(q, k, v, num_heads)
-    return nn.linear(p["to_out"], out)
+    # saving the pre-projection attention output ("heavy" remat policy)
+    # keeps the flash kernel out of the backward recompute: its custom VJP
+    # needs only q/k/v (cheap linears from the saved norm input), and every
+    # downstream consumer reads the saved tensor
+    return nn.linear(p["to_out"], checkpoint_name(out, "rematsave_attn"))
 
 
 def _cross_attention(
@@ -341,7 +382,7 @@ def _cross_attention(
         out = (out.astype(jnp.float32) + scale * ip_out.astype(jnp.float32)).astype(
             out.dtype
         )
-    return nn.linear(p["to_out"], out)
+    return nn.linear(p["to_out"], checkpoint_name(out, "rematsave_attn"))
 
 
 def _transformer2d(
@@ -395,6 +436,7 @@ def apply(
     down_only: bool = False,
     conv_in_extra: Optional[jnp.ndarray] = None,
     remat: bool = False,
+    remat_policy: Optional[str] = None,
 ):
     """Run the UNet. Returns eps prediction (B,H,W,C_out); with capture=True
     returns (eps, {attn1_layer_name: hidden}); with down_only=True returns
@@ -417,14 +459,23 @@ def apply(
     # activations are recomputed in the backward pass instead of living
     # across the whole forward (jax.checkpoint — the HBM-for-FLOPs trade,
     # needed to fit batched 512x640 training on one chip). Capture mode is
-    # incompatible (the captured dict is a side output).
+    # incompatible (the captured dict is a side output). `remat_policy`
+    # selects SELECTIVE remat (resolve_remat_policy): full block remat is
+    # bandwidth-bound at ~24% MFU (the whole forward re-runs in backward);
+    # the "heavy" policy saves matmul/attention/conv1 outputs so the
+    # recompute contains only GroupNorm/LayerNorm/elementwise chains.
     if remat and not capture:
-        resnet_fn = jax.checkpoint(_resnet, static_argnums=(3,))
+        ckpt_kwargs = {}
+        policy = resolve_remat_policy(remat_policy)
+        if policy is not None:
+            ckpt_kwargs["policy"] = policy
+        resnet_fn = jax.checkpoint(_resnet, static_argnums=(3,), **ckpt_kwargs)
         transformer_fn = jax.checkpoint(
             lambda p, x, ctx, c, name, cnd: _transformer2d(
                 p, x, ctx, c, name, cnd, None
             ),
             static_argnums=(3, 4),
+            **ckpt_kwargs,
         )
     else:
         resnet_fn = _resnet

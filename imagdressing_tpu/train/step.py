@@ -204,7 +204,10 @@ def make_loss_fn(
         eps_pred = unet_lib.apply(
             frozen["unet"], unet_cfg, noisy.astype(compute_dtype), t,
             text_embeds.astype(compute_dtype), cond,
-            remat=True,  # block-level recompute: fits 512x640 batches on-chip
+            # block-level recompute fits 512x640 batches on-chip; the
+            # cfg knob selects selective remat (resolve_remat_policy)
+            remat=cfg.remat_policy != "none",
+            remat_policy=cfg.remat_policy,
         ).astype(jnp.float32)
 
         se = jnp.mean((eps_pred - noise) ** 2, axis=(1, 2, 3))
