@@ -532,8 +532,9 @@ def apply(
                     f"up_blocks.{i}.attentions.{j}", cond,
                 )
         if "upsamplers" in block:
-            h = nn.upsample_nearest_2x(h)
-            h = nn.conv2d(block["upsamplers"][0]["conv"], h, padding=1)
+            # fused subpixel conv == upsample_nearest_2x + conv3x3 (2.25x
+            # fewer MXU FLOPs; the 4x-sized intermediate never hits HBM)
+            h = nn.upsample2x_conv(block["upsamplers"][0]["conv"], h)
 
     h = group_norm_act(params["conv_norm_out"], h,
                        num_groups=cfg.norm_num_groups, eps=cfg.norm_eps,

@@ -201,8 +201,8 @@ def decode(params: Params, cfg: VAEConfig, latents: jnp.ndarray) -> jnp.ndarray:
         for rp in block["resnets"]:
             h = _resnet(rp, h, cfg)
         if "upsamplers" in block:
-            h = nn.upsample_nearest_2x(h)
-            h = nn.conv2d(block["upsamplers"][0]["conv"], h, padding=1)
+            # fused subpixel conv == upsample_nearest_2x + conv3x3
+            h = nn.upsample2x_conv(block["upsamplers"][0]["conv"], h)
     h = nn.group_norm(p["conv_norm_out"], h, num_groups=cfg.norm_num_groups,
                       eps=cfg.norm_eps)
     h = nn.silu(h)

@@ -199,6 +199,62 @@ def upsample_nearest_2x(x: jnp.ndarray) -> jnp.ndarray:
     return x.reshape(b, h * 2, w * 2, c)
 
 
+def upsample2x_conv(p: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """Fused nearest-2x upsample + 3x3/pad-1 conv as ONE subpixel conv.
+
+    `conv3x3(upsample_nearest_2x(x))` evaluates 9 taps per pixel at the
+    DOUBLED resolution, but each output phase (y%2, x%2) only ever sees a
+    2x2 window of the original input — the 9 taps collapse into fixed sums
+    of the 3x3 kernel per phase. Folding those sums into a single
+    (2, 2, Cin, 4*Cout) kernel runs the conv at the LOW resolution:
+    2.25x fewer MXU FLOPs and the (2H, 2W, C) nearest-upsampled
+    intermediate never exists in HBM. The UNet/VAE up paths use this
+    (diffusers Upsample2D semantics, reference UNet up blocks).
+
+    Numerics: identical taps, different summation order (weight sums are
+    folded before the MXU pass) — fp32 parity vs the unfused pair is ~1e-6.
+    """
+    w = p["kernel"]  # (3, 3, Ci, Co) HWIO
+    # phase a=0 output rows read input rows (i-1, i) with taps (w0, w1+w2);
+    # a=1 reads (i, i+1) with taps (w0+w1, w2); same per column phase b
+    r0 = jnp.stack([w[0], w[1] + w[2]])            # (2, 3, Ci, Co)
+    r1 = jnp.stack([w[0] + w[1], w[2]])
+
+    def _cols(wr):
+        c0 = jnp.stack([wr[:, 0], wr[:, 1] + wr[:, 2]], axis=1)
+        c1 = jnp.stack([wr[:, 0] + wr[:, 1], wr[:, 2]], axis=1)
+        return c0, c1  # each (2, 2, Ci, Co)
+
+    k00, k01 = _cols(r0)
+    k10, k11 = _cols(r1)
+    kk = jnp.concatenate([k00, k01, k10, k11], axis=-1)  # (2, 2, Ci, 4*Co)
+
+    b, h, wdt, _ = x.shape
+    co = w.shape[-1]
+    y = jax.lax.conv_general_dilated(
+        x,
+        kk.astype(x.dtype),
+        window_strides=(1, 1),
+        padding=((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=x.dtype,
+    )  # (B, H+1, W+1, 4*Co): window r covers padded rows (r-1, r)
+    y = y.reshape(b, h + 1, wdt + 1, 2, 2, co)
+    p00 = y[:, 0 : h, 0 : wdt, 0, 0]
+    p01 = y[:, 0 : h, 1 : wdt + 1, 0, 1]
+    p10 = y[:, 1 : h + 1, 0 : wdt, 1, 0]
+    p11 = y[:, 1 : h + 1, 1 : wdt + 1, 1, 1]
+    # out[2i+a, 2j+b] = phase_ab[i, j]
+    out = jnp.stack(
+        [jnp.stack([p00, p01], axis=3), jnp.stack([p10, p11], axis=3)],
+        axis=2,
+    )  # (B, H, 2, W, 2, Co)
+    out = out.reshape(b, 2 * h, 2 * wdt, co)
+    if "bias" in p and p["bias"] is not None:
+        out = out + p["bias"].astype(out.dtype)
+    return out
+
+
 def normalize_images(x: jnp.ndarray) -> jnp.ndarray:
     """[0,1] -> [-1,1] (the reference's Normalize([0.5],[0.5]))."""
     return x * 2.0 - 1.0

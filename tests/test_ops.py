@@ -83,6 +83,28 @@ def test_upsample_nearest():
                                             [2, 2, 3, 3], [2, 2, 3, 3]]))
 
 
+def test_upsample2x_conv_matches_unfused():
+    """The fused subpixel conv == upsample_nearest_2x then 3x3/pad-1 conv
+    (same taps, folded weight sums), including odd sizes and bias."""
+    rng = np.random.default_rng(0)
+    for (h, w, ci, co) in [(5, 7, 3, 4), (8, 10, 6, 6), (1, 1, 2, 3)]:
+        p = {
+            "kernel": jnp.asarray(
+                rng.standard_normal((3, 3, ci, co)).astype(np.float32)
+            ),
+            "bias": jnp.asarray(rng.standard_normal(co).astype(np.float32)),
+        }
+        x = jnp.asarray(
+            rng.standard_normal((2, h, w, ci)).astype(np.float32)
+        )
+        want = nn.conv2d(p, nn.upsample_nearest_2x(x), padding=1)
+        got = nn.upsample2x_conv(p, x)
+        assert got.shape == want.shape == (2, 2 * h, 2 * w, co)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-5, rtol=1e-5
+        )
+
+
 def test_quick_gelu():
     x = jnp.asarray(np.linspace(-3, 3, 13, dtype=np.float32))
     got = nn.quick_gelu(x)
