@@ -31,6 +31,7 @@ def _profile_device_seconds(run_once, program_prefix: str):
     """Run `run_once()` under jax.profiler and return the device-timeline
     duration (seconds) of the longest program whose name starts with
     `program_prefix`, or None if the trace lacks device events."""
+    import contextlib
     import glob
     import gzip
     import json as js
@@ -38,7 +39,13 @@ def _profile_device_seconds(run_once, program_prefix: str):
 
     import jax
 
-    with tempfile.TemporaryDirectory() as td:
+    # BENCH_TRAIN_TRACE_DIR keeps the trace on disk for
+    # tools/profile_summary breakdowns instead of a throwaway tempdir.
+    keep = os.environ.get("BENCH_TRAIN_TRACE_DIR")
+    ctx = contextlib.nullcontext(keep) if keep \
+        else tempfile.TemporaryDirectory()
+    with ctx as td:
+        os.makedirs(td, exist_ok=True)
         jax.profiler.start_trace(td)
         run_once()
         jax.profiler.stop_trace()

@@ -278,13 +278,18 @@ def resolve_remat_policy(name: Optional[str]):
     cp = jax.checkpoint_policies
     if name == "dots":
         return cp.dots_saveable
+    if name == "names":
+        # just the two expensive-op outputs — the memory-lean middle
+        # ground when "heavy" overshoots HBM (e.g. 512x640 b4 misses by
+        # ~2%); linears re-run in backward but convs/attention do not
+        return cp.save_only_these_names("rematsave_conv", "rematsave_attn")
     if name == "heavy":
         return cp.save_from_both_policies(
             cp.dots_saveable,
             cp.save_only_these_names("rematsave_conv", "rematsave_attn"),
         )
     raise ValueError(
-        f"unknown remat policy {name!r} (full | dots | heavy | none)"
+        f"unknown remat policy {name!r} (full | dots | names | heavy | none)"
     )
 
 

@@ -141,3 +141,29 @@ def test_controlnet_residual_shapes_and_zero_init(small):
         Conditioning(down_block_residuals=down, mid_block_residual=mid),
     )
     np.testing.assert_allclose(np.asarray(with_res), np.asarray(base), atol=1e-6)
+
+
+@pytest.mark.parametrize("policy", ["full", "dots", "names", "heavy"])
+def test_remat_policies_match_no_remat(small, policy):
+    """Selective remat recomputes — never changes — the math: loss and
+    param-grads under every policy must match the remat-free backward."""
+    cfg, params = small
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((1, 16, 16, 4)).astype(np.float32))
+    ctx = jnp.asarray(rng.standard_normal((1, 77, 32)).astype(np.float32))
+    t = jnp.array([500])
+
+    def loss(p, remat, pol):
+        out = unet.apply(p, cfg, x, t, ctx, remat=remat, remat_policy=pol)
+        return jnp.mean(out * out)
+
+    base_l, base_g = jax.jit(
+        jax.value_and_grad(lambda p: loss(p, False, None)))(params)
+    l, g = jax.jit(
+        jax.value_and_grad(lambda p: loss(p, True, policy)))(params)
+    np.testing.assert_allclose(float(l), float(base_l), rtol=1e-6)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6),
+        g, base_g,
+    )
