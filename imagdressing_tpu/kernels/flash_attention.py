@@ -27,6 +27,7 @@ Accumulation is fp32 throughout; inputs may be bf16.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -208,11 +209,486 @@ def _flash_call(
     )(ref_scale, q, k, v)
 
 
+def _flash_res_kernel(
+    # scalar prefetch
+    scale_ref,  # (B,) fp32 per-batch ref-source scale
+    # inputs
+    q_ref,  # (1, block_q, D)
+    kv_k_ref,  # (1, block_k, D)
+    kv_v_ref,  # (1, block_k, D)
+    *refs,  # outputs then scratch, arity depends on num_sources
+    sm_scale: float,
+    num_heads: int,
+    blocks_per_source: int,
+    num_sources: int,
+):
+    """Forward that additionally writes the backward residuals: per-source
+    log-sum-exp (lane-replicated, the TPU layout for per-row scalars) and,
+    for the dual-source case, the reference-source output O2 (needed for the
+    delta terms and the scale gradient). Unlike the inference kernel this
+    never skips the scale-0 reference pass: d out / d scale = O2 is nonzero
+    even when scale is 0, so the residuals must exist for every row."""
+    if num_sources == 2:
+        (o_ref, lse_ref, o2_ref,
+         m_scratch, l_scratch, acc_scratch, out0_scratch) = refs
+    else:
+        o_ref, lse_ref, m_scratch, l_scratch, acc_scratch = refs
+        o2_ref = out0_scratch = None
+
+    ki = pl.program_id(2)
+    total_blocks = blocks_per_source * num_sources
+    is_first_of_source = (ki % blocks_per_source) == 0
+    is_last = ki == total_blocks - 1
+
+    if num_sources == 2:
+        bh = pl.program_id(0)
+        ref_scale = scale_ref[bh // num_heads]
+    else:
+        ref_scale = jnp.float32(0.0)
+
+    @pl.when(is_first_of_source)
+    def _init():
+        m_scratch[...] = jnp.full_like(m_scratch, NEG_INF)
+        l_scratch[...] = jnp.zeros_like(l_scratch)
+        acc_scratch[...] = jnp.zeros_like(acc_scratch)
+
+    # same streaming-softmax update as _flash_kernel
+    is_f32 = q_ref.dtype == jnp.float32
+    precision = (
+        jax.lax.Precision.HIGHEST if is_f32 else jax.lax.Precision.DEFAULT
+    )
+    q = q_ref[0]
+    k = kv_k_ref[0]
+    v = kv_v_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    ) * sm_scale
+    m_prev = m_scratch[:, :1]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    p = jnp.exp(s - m_new)
+    corr = jnp.exp(m_prev - m_new)
+    l_new = l_scratch[:, :1] * corr + jnp.sum(p, axis=-1, keepdims=True)
+    acc = acc_scratch[...] * corr + jax.lax.dot_general(
+        p.astype(q.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+    m_scratch[...] = jnp.broadcast_to(m_new, m_scratch.shape)
+    l_scratch[...] = jnp.broadcast_to(l_new, l_scratch.shape)
+    acc_scratch[...] = acc
+
+    def _lse():  # (block_q, 128) lane-replicated log-sum-exp
+        return m_scratch[...] + jnp.log(l_scratch[...])
+
+    is_last_of_first_source = (num_sources == 2) and (
+        ki == blocks_per_source - 1
+    )
+
+    @pl.when(is_last_of_first_source)
+    def _stash_source0():
+        out0_scratch[...] = acc_scratch[...] / l_scratch[:, :1]
+        lse_ref[0, 0] = _lse()
+
+    @pl.when(is_last)
+    def _finalize():
+        lse_ref[0, 0] = _lse()
+        if num_sources == 2:
+            o2 = acc_scratch[...] / l_scratch[:, :1]
+            o2_ref[0] = o2.astype(o2_ref.dtype)
+            o_ref[0] = (out0_scratch[...] + ref_scale * o2).astype(o_ref.dtype)
+        else:
+            o_ref[0] = (
+                acc_scratch[...] / l_scratch[:, :1]
+            ).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_heads",
+        "sm_scale",
+        "block_q",
+        "block_k",
+        "num_sources",
+        "interpret",
+    ),
+)
+def _flash_call_res(
+    q: jnp.ndarray,  # (BH, Sq, D)
+    k: jnp.ndarray,  # (BH, num_sources*Skv, D)
+    v: jnp.ndarray,
+    ref_scale: jnp.ndarray,  # (B,) fp32
+    *,
+    num_heads: int,
+    sm_scale: float,
+    block_q: int,
+    block_k: int,
+    num_sources: int,
+    interpret: bool = False,
+):
+    """Forward with residuals. Returns (out, lse, o2):
+    out (BH,Sq,D), lse (BH, num_sources, Sq, 128) fp32, o2 (BH,Sq,D) or None.
+    """
+    bh, sq, d = q.shape
+    skv_total = k.shape[1]
+    blocks_per_source = (skv_total // num_sources) // block_k
+    total_k_blocks = blocks_per_source * num_sources
+
+    grid = (bh, sq // block_q, total_k_blocks)
+    bps = blocks_per_source
+
+    kernel = functools.partial(
+        _flash_res_kernel,
+        sm_scale=sm_scale,
+        num_heads=num_heads,
+        blocks_per_source=blocks_per_source,
+        num_sources=num_sources,
+    )
+
+    out_shapes = [
+        jax.ShapeDtypeStruct(q.shape, q.dtype),
+        jax.ShapeDtypeStruct((bh, num_sources, sq, 128), jnp.float32),
+    ]
+    out_specs = [
+        pl.BlockSpec((1, block_q, d), lambda b, qi, ki, *_: (b, qi, 0)),
+        pl.BlockSpec(
+            (1, 1, block_q, 128),
+            lambda b, qi, ki, *_: (b, ki // bps, qi, 0),
+        ),
+    ]
+    scratch = [
+        pltpu.VMEM((block_q, 128), jnp.float32),
+        pltpu.VMEM((block_q, 128), jnp.float32),
+        pltpu.VMEM((block_q, d), jnp.float32),
+    ]
+    if num_sources == 2:
+        out_shapes.append(jax.ShapeDtypeStruct(q.shape, q.dtype))
+        out_specs.append(
+            pl.BlockSpec((1, block_q, d), lambda b, qi, ki, *_: (b, qi, 0))
+        )
+        scratch.append(pltpu.VMEM((block_q, d), jnp.float32))
+
+    flops = 4 * bh * sq * skv_total * d
+    res = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((1, block_q, d), lambda b, qi, ki, *_: (b, qi, 0)),
+                pl.BlockSpec((1, block_k, d), lambda b, qi, ki, *_: (b, ki, 0)),
+                pl.BlockSpec((1, block_k, d), lambda b, qi, ki, *_: (b, ki, 0)),
+            ],
+            out_specs=out_specs,
+            scratch_shapes=scratch,
+        ),
+        out_shape=out_shapes,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=q.size * 4 + k.size * 2 + v.size * 2,
+            transcendentals=bh * sq * skv_total,
+        ),
+        interpret=(pltpu.InterpretParams() if interpret else False),
+    )(ref_scale, q, k, v)
+    if num_sources == 2:
+        out, lse, o2 = res
+    else:
+        out, lse = res
+        o2 = None
+    return out, lse, o2
+
+
+def _bwd_dkv_kernel(
+    scale_ref,  # (B,)
+    q_ref,  # (1, block_q, D)
+    g_ref,  # (1, block_q, D) upstream dO
+    k_ref,  # (1, block_k, D)
+    v_ref,  # (1, block_k, D)
+    lse_ref,  # (1, 1, block_q, 128)
+    di_ref,  # (1, 1, block_q, 128) rowsum(dO_eff * O_src), coeff included
+    dk_ref,  # (1, block_k, D)
+    dv_ref,  # (1, block_k, D)
+    dk_acc,  # (block_k, D) f32
+    dv_acc,  # (block_k, D) f32
+    *,
+    sm_scale: float,
+    num_heads: int,
+    blocks_per_source: int,
+    num_sources: int,
+):
+    """dK/dV pass: kv-major grid, q innermost; recomputes the block
+    probabilities from (q, k, lse). For the reference source the effective
+    upstream gradient is scale*g (out = O1 + s*O2), and a scale-0 batch row
+    contributes exactly zero so its blocks are skipped."""
+    ki = pl.program_id(1)
+    qi = pl.program_id(2)
+    nq = pl.num_programs(2)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    if num_sources == 2:
+        bh = pl.program_id(0)
+        s_b = scale_ref[bh // num_heads]
+        is_src2 = ki >= blocks_per_source
+        coeff = jnp.where(is_src2, s_b, jnp.float32(1.0))
+        skip = jnp.logical_and(is_src2, s_b == 0.0)
+    else:
+        coeff = jnp.float32(1.0)
+        skip = False
+
+    @pl.when(jnp.logical_not(skip))
+    def _compute():
+        is_f32 = q_ref.dtype == jnp.float32
+        precision = (
+            jax.lax.Precision.HIGHEST if is_f32 else jax.lax.Precision.DEFAULT
+        )
+        q = q_ref[0]  # (bq, D)
+        k = k_ref[0]  # (bk, D)
+        v = v_ref[0]
+        bk = k.shape[0]
+        reps = bk // 128
+        g = (g_ref[0].astype(jnp.float32) * coeff).astype(q.dtype)  # dO_eff
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        ) * sm_scale  # (bq, bk) f32
+        p = jnp.exp(s - jnp.tile(lse_ref[0, 0], (1, reps)))
+        dv_acc[...] += jax.lax.dot_general(
+            p.astype(q.dtype), g, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+        dp = jax.lax.dot_general(
+            g, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )  # (bq, bk)
+        ds = p * (dp - jnp.tile(di_ref[0, 0], (1, reps)))
+        dk_acc[...] += sm_scale * jax.lax.dot_general(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+
+    @pl.when(qi == nq - 1)
+    def _store():
+        dk_ref[0] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
+
+
+def _bwd_dq_kernel(
+    scale_ref,
+    q_ref,  # (1, block_q, D)
+    g_ref,  # (1, block_q, D)
+    k_ref,  # (1, block_k, D)
+    v_ref,  # (1, block_k, D)
+    lse_ref,  # (1, 1, block_q, 128)
+    di_ref,  # (1, 1, block_q, 128)
+    dq_ref,  # (1, block_q, D)
+    dq_acc,  # (block_q, D) f32
+    *,
+    sm_scale: float,
+    num_heads: int,
+    blocks_per_source: int,
+    num_sources: int,
+):
+    """dQ pass: q-major grid, kv innermost (both sources stream through)."""
+    ki = pl.program_id(2)
+    nk = pl.num_programs(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        dq_acc[...] = jnp.zeros_like(dq_acc)
+
+    if num_sources == 2:
+        bh = pl.program_id(0)
+        s_b = scale_ref[bh // num_heads]
+        is_src2 = ki >= blocks_per_source
+        coeff = jnp.where(is_src2, s_b, jnp.float32(1.0))
+        skip = jnp.logical_and(is_src2, s_b == 0.0)
+    else:
+        coeff = jnp.float32(1.0)
+        skip = False
+
+    @pl.when(jnp.logical_not(skip))
+    def _compute():
+        is_f32 = q_ref.dtype == jnp.float32
+        precision = (
+            jax.lax.Precision.HIGHEST if is_f32 else jax.lax.Precision.DEFAULT
+        )
+        q = q_ref[0]
+        k = k_ref[0]
+        v = v_ref[0]
+        bk = k.shape[0]
+        reps = bk // 128
+        g = (g_ref[0].astype(jnp.float32) * coeff).astype(q.dtype)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        ) * sm_scale
+        p = jnp.exp(s - jnp.tile(lse_ref[0, 0], (1, reps)))
+        dp = jax.lax.dot_general(
+            g, v, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+        ds = p * (dp - jnp.tile(di_ref[0, 0], (1, reps)))
+        dq_acc[...] += sm_scale * jax.lax.dot_general(
+            ds.astype(q.dtype), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=precision,
+        )
+
+    @pl.when(ki == nk - 1)
+    def _store():
+        dq_ref[0] = dq_acc[...].astype(dq_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_heads",
+        "sm_scale",
+        "block_q",
+        "block_k",
+        "num_sources",
+        "interpret",
+    ),
+)
+def _flash_bwd_call(
+    q: jnp.ndarray,  # (BH, Sq, D)
+    g: jnp.ndarray,  # (BH, Sq, D)
+    k: jnp.ndarray,  # (BH, num_sources*Skv, D)
+    v: jnp.ndarray,
+    lse: jnp.ndarray,  # (BH, num_sources, Sq, 128) f32
+    di: jnp.ndarray,  # (BH, num_sources, Sq, 128) f32
+    ref_scale: jnp.ndarray,  # (B,) f32
+    *,
+    num_heads: int,
+    sm_scale: float,
+    block_q: int,
+    block_k: int,
+    num_sources: int,
+    interpret: bool = False,
+):
+    """Runs both backward kernels; returns (dq, dk_cat, dv_cat) with dk/dv
+    concatenated over sources along the sequence axis (forward kf layout)."""
+    bh, sq, d = q.shape
+    skv_total = k.shape[1]
+    bps = (skv_total // num_sources) // block_k
+    total_k_blocks = bps * num_sources
+    n_q_blocks = sq // block_q
+
+    common = dict(
+        sm_scale=sm_scale,
+        num_heads=num_heads,
+        blocks_per_source=bps,
+        num_sources=num_sources,
+    )
+    # dots per (q-block, k-block) pair: dkv kernel 4, dq kernel 3
+    pair_flops = 2 * sq * skv_total * d * bh
+    interp = pltpu.InterpretParams() if interpret else False
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, **common),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(bh, total_k_blocks, n_q_blocks),
+            in_specs=[
+                pl.BlockSpec((1, block_q, d), lambda b, ki, qi, *_: (b, qi, 0)),
+                pl.BlockSpec((1, block_q, d), lambda b, ki, qi, *_: (b, qi, 0)),
+                pl.BlockSpec((1, block_k, d), lambda b, ki, qi, *_: (b, ki, 0)),
+                pl.BlockSpec((1, block_k, d), lambda b, ki, qi, *_: (b, ki, 0)),
+                pl.BlockSpec(
+                    (1, 1, block_q, 128),
+                    lambda b, ki, qi, *_: (b, ki // bps, qi, 0),
+                ),
+                pl.BlockSpec(
+                    (1, 1, block_q, 128),
+                    lambda b, ki, qi, *_: (b, ki // bps, qi, 0),
+                ),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, block_k, d), lambda b, ki, qi, *_: (b, ki, 0)),
+                pl.BlockSpec((1, block_k, d), lambda b, ki, qi, *_: (b, ki, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((block_k, d), jnp.float32),
+                pltpu.VMEM((block_k, d), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=_BWD_VMEM_LIMIT,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * pair_flops,
+            bytes_accessed=q.size * 4 + k.size * 4 + v.size * 4,
+            transcendentals=bh * sq * skv_total,
+        ),
+        interpret=interp,
+    )(ref_scale, q, g, k, v, lse, di)
+
+    (dq,) = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, **common),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(bh, n_q_blocks, total_k_blocks),
+            in_specs=[
+                pl.BlockSpec((1, block_q, d), lambda b, qi, ki, *_: (b, qi, 0)),
+                pl.BlockSpec((1, block_q, d), lambda b, qi, ki, *_: (b, qi, 0)),
+                pl.BlockSpec((1, block_k, d), lambda b, qi, ki, *_: (b, ki, 0)),
+                pl.BlockSpec((1, block_k, d), lambda b, qi, ki, *_: (b, ki, 0)),
+                pl.BlockSpec(
+                    (1, 1, block_q, 128),
+                    lambda b, qi, ki, *_: (b, ki // bps, qi, 0),
+                ),
+                pl.BlockSpec(
+                    (1, 1, block_q, 128),
+                    lambda b, qi, ki, *_: (b, ki // bps, qi, 0),
+                ),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, block_q, d), lambda b, qi, ki, *_: (b, qi, 0)),
+            ],
+            scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+        ),
+        out_shape=[jax.ShapeDtypeStruct(q.shape, q.dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=_BWD_VMEM_LIMIT,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=3 * pair_flops,
+            bytes_accessed=q.size * 4 + k.size * 2 + v.size * 2,
+            transcendentals=bh * sq * skv_total,
+        ),
+        interpret=interp,
+    )(ref_scale, q, g, k, v, lse, di)
+
+    return dq, dk, dv
+
+
 # ---------------------------------------------------------------------------
-# Differentiation: the Pallas kernel runs the forward; the backward is a
-# blockwise XLA implementation of the standard flash-attention gradients
-# (recomputes per-block logits from q/k — never materializes the full SxS
-# matrix, peak memory is one (block_q x Skv) slab per head-batch):
+# Differentiation.
+#
+# Default path (TPU + interpret tests): Pallas backward. The forward-with-
+# residuals kernel additionally writes the per-source log-sum-exp (lane-
+# replicated, the TPU idiom) and the reference-source output O2; two backward
+# kernels then recompute the per-block probabilities from (q, k, lse) and
+# accumulate dk/dv (kv-major grid, q innermost) and dq (q-major grid, kv
+# innermost) entirely in VMEM — no (Sq x Skv) slab ever reaches HBM, unlike
+# the XLA fallback below whose per-block einsum intermediates spill.
+#
+# Fallback (IMAGDRESSING_FLASH_BWD=xla): a blockwise XLA implementation of
+# the standard flash-attention gradients (recomputes per-block logits from
+# q/k — never materializes the full SxS matrix, peak memory is one
+# (block_q x Skv) slab per head-batch):
 #
 #   D_i  = rowsum(dO_i * O_i)
 #   P_ij = exp(q_i.k_j * sm - LSE_i)
@@ -300,13 +776,86 @@ def _fa_fwd_impl(q, k, v, k_ref, v_ref, scale_vec):
     return _flash_forward_pallas(q, k, v, k_ref, v_ref, scale_vec)
 
 
+def _bwd_backend() -> str:
+    """'pallas' (default): fused backward kernels, residuals saved by the
+    forward. 'xla': the blockwise XLA fallback (A/B + safety hatch)."""
+    return os.environ.get("IMAGDRESSING_FLASH_BWD", "pallas")
+
+
 def _fa_fwd(q, k, v, k_ref, v_ref, scale_vec):
+    if _bwd_backend() == "pallas":
+        out, lse, o2 = _flash_forward_pallas(
+            q, k, v, k_ref, v_ref, scale_vec, save_residuals=True
+        )
+        return out, (q, k, v, k_ref, v_ref, scale_vec, out, lse, o2)
     out = _fa_fwd_impl(q, k, v, k_ref, v_ref, scale_vec)
-    return out, (q, k, v, k_ref, v_ref, scale_vec)
+    return out, (q, k, v, k_ref, v_ref, scale_vec, None, None, None)
+
+
+# Backward blocks run 1024x1024 (vs the forward's 1280/1024 picks at 5120
+# tokens): the two backward kernels' grids shrink ~4x vs 512-blocks (fixed
+# per-invocation cost dominates at D=40), at ~14 MB of scoped VMEM — the
+# 64 MB vmem limit below gives the compiler double-buffering headroom.
+_BWD_PALLAS_BLOCK_Q = 1024
+_BWD_PALLAS_BLOCK_K = 1024
+_BWD_VMEM_LIMIT = 64 * 1024 * 1024
+
+
+def _fa_bwd_pallas(res, g):
+    q, k, v, k_ref, v_ref, scale_vec, out, lse, o2 = res
+    b, sq, h, d = q.shape
+    sm = 1.0 / (d**0.5)
+    dual = k_ref is not None
+    qf, gf, of = _fold4(q, b, h), _fold4(g, b, h), _fold4(out, b, h)
+    gf32 = gf.astype(jnp.float32)
+    if dual:
+        kf = jnp.concatenate([_fold4(k, b, h), _fold4(k_ref, b, h)], axis=1)
+        vf = jnp.concatenate([_fold4(v, b, h), _fold4(v_ref, b, h)], axis=1)
+        s_bh = jnp.repeat(scale_vec.astype(jnp.float32), h)[:, None, None]
+        o2f32 = o2.astype(jnp.float32)
+        go2 = jnp.sum(gf32 * o2f32, axis=-1)  # (BH, Sq)
+        di2 = s_bh[:, :, 0] * go2  # dO_eff = s*g against O2
+        o1f32 = of.astype(jnp.float32) - s_bh * o2f32
+        di1 = jnp.sum(gf32 * o1f32, axis=-1)
+        di = jnp.stack([di1, di2], axis=1)  # (BH, 2, Sq)
+        # out = O1 + s * O2  =>  d out / d s = O2
+        dscale = (
+            jnp.sum(go2, axis=-1).reshape(b, h).sum(axis=1)
+            .astype(scale_vec.dtype)
+        )
+        ns = 2
+    else:
+        kf, vf = _fold4(k, b, h), _fold4(v, b, h)
+        di = jnp.sum(gf32 * of.astype(jnp.float32), axis=-1)[:, None, :]
+        dscale = jnp.zeros_like(scale_vec)
+        ns = 1
+    di_b = jnp.broadcast_to(di[..., None], (*di.shape, 128))
+
+    skv = k.shape[1]
+    bq = _pick_block(sq, _BWD_PALLAS_BLOCK_Q)
+    bk = _pick_block(skv, _BWD_PALLAS_BLOCK_K)
+    dq, dkc, dvc = _flash_bwd_call(
+        qf, gf, kf, vf, lse, di_b, scale_vec,
+        num_heads=h, sm_scale=sm, block_q=bq, block_k=bk,
+        num_sources=ns, interpret=INTERPRET,
+    )
+    dqu = _unfold4(dq, b, h).astype(q.dtype)
+    if dual:
+        dk4 = _unfold4(dkc[:, :skv], b, h).astype(k.dtype)
+        dv4 = _unfold4(dvc[:, :skv], b, h).astype(v.dtype)
+        dkr4 = _unfold4(dkc[:, skv:], b, h).astype(k_ref.dtype)
+        dvr4 = _unfold4(dvc[:, skv:], b, h).astype(v_ref.dtype)
+    else:
+        dk4 = _unfold4(dkc, b, h).astype(k.dtype)
+        dv4 = _unfold4(dvc, b, h).astype(v.dtype)
+        dkr4 = dvr4 = None
+    return dqu, dk4, dv4, dkr4, dvr4, dscale
 
 
 def _fa_bwd(res, g):
-    q, k, v, k_ref, v_ref, scale_vec = res
+    q, k, v, k_ref, v_ref, scale_vec, out, lse, o2 = res
+    if lse is not None:
+        return _fa_bwd_pallas(res, g)
     b, sq, h, d = q.shape
     sm = 1.0 / (d**0.5)
     qf, kf, vf = _fold4(q, b, h), _fold4(k, b, h), _fold4(v, b, h)
@@ -374,10 +923,14 @@ def _flash_forward_pallas(
     *,
     block_q: int = 2048,
     block_k: int = 1024,
-) -> jnp.ndarray:
+    save_residuals: bool = False,
+):
     """Flash attention over one or two KV sources.
 
     Returns SDPA(q,k,v) [+ ref_scale * SDPA(q,k_ref,v_ref)], shape (B,Sq,H,D).
+    With save_residuals=True, returns (out, lse, o2) where lse
+    (BH, num_sources, Sq, 128) and o2 (BH, Sq, D; dual only, else None) stay
+    in the kernel's folded layout for the backward kernels.
     """
     b, sq, h, d = q.shape
     skv = k.shape[1]
@@ -408,6 +961,15 @@ def _flash_forward_pallas(
     bq = _pick_block(sq, block_q)
     bk = _pick_block(skv, block_k)
     assert bq is not None and bk is not None, (sq, skv, block_q, block_k)
+
+    if save_residuals:
+        out, lse, o2 = _flash_call_res(
+            qf, kf, vf, scale_vec,
+            num_heads=h, sm_scale=sm_scale, block_q=bq, block_k=bk,
+            num_sources=num_sources, interpret=INTERPRET,
+        )
+        out = jnp.transpose(out.reshape(b, h, sq, d), (0, 2, 1, 3))
+        return out, lse, o2
 
     out = _flash_call(
         qf,

@@ -61,11 +61,17 @@ def test_dual_kv_different_ref_length():
     np.testing.assert_allclose(np.asarray(got), want, atol=1e-5)
 
 
-def test_flash_backward_matches_autodiff():
-    """The custom-VJP blockwise backward must equal autodiff of the naive
-    SDPA (dual source, per-batch scales, including the scale-0 row)."""
+import pytest
+
+
+@pytest.mark.parametrize("bwd", ["pallas", "xla"])
+def test_flash_backward_matches_autodiff(bwd, monkeypatch):
+    """Both custom-VJP backends (fused Pallas kernels and the blockwise XLA
+    fallback) must equal autodiff of the naive SDPA (dual source, per-batch
+    scales, including the scale-0 row)."""
     import imagdressing_tpu.kernels.flash_attention as fa
 
+    monkeypatch.setenv("IMAGDRESSING_FLASH_BWD", bwd)
     rng = np.random.default_rng(7)
     B, S, H, D = 2, 256, 2, 8
     q, k, v, kr, vr = (
@@ -85,19 +91,99 @@ def test_flash_backward_matches_autodiff():
         return jnp.sum((out - tgt) ** 2)
 
     def ours(q, k, v, kr, vr, sc):
-        fa.INTERPRET = True
-        try:
-            out = fa.flash_attention(q, k, v, kr, vr, sc)
-        finally:
-            fa.INTERPRET = False
+        out = fa.flash_attention(q, k, v, kr, vr, sc)
         return jnp.sum((out - tgt) ** 2)
 
     args = (q, k, v, kr, vr, scale)
     g_naive = jax.grad(naive, argnums=(0, 1, 2, 3, 4, 5))(*args)
-    g_ours = jax.grad(ours, argnums=(0, 1, 2, 3, 4, 5))(*args)
+    # the Pallas backward kernels trace at cotangent-pull time, so the
+    # interpreter flag must be held across the whole grad evaluation
+    fa.INTERPRET = True
+    try:
+        g_ours = jax.grad(ours, argnums=(0, 1, 2, 3, 4, 5))(*args)
+        g_ours = jax.tree.map(np.asarray, g_ours)
+    finally:
+        fa.INTERPRET = False
     for gn, go in zip(g_naive, g_ours):
-        np.testing.assert_allclose(np.asarray(go), np.asarray(gn),
-                                   atol=5e-3, rtol=1e-3)
+        np.testing.assert_allclose(go, np.asarray(gn), atol=5e-3, rtol=1e-3)
+
+
+def test_flash_backward_single_source_matches_autodiff():
+    """Single-KV flash (the garment UNet's trainable self-attention) through
+    the Pallas backward kernels."""
+    import imagdressing_tpu.kernels.flash_attention as fa
+
+    rng = np.random.default_rng(11)
+    B, S, H, D = 1, 256, 2, 8
+    q, k, v = (
+        jnp.asarray(rng.standard_normal((B, S, H, D)).astype(np.float32))
+        for _ in range(3)
+    )
+    tgt = jnp.asarray(rng.standard_normal((B, S, H, D)).astype(np.float32))
+
+    def naive(q, k, v):
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(D)
+        p = jax.nn.softmax(logits, -1)
+        out = jnp.einsum("bhqk,bkhd->bqhd", p, v)
+        return jnp.sum((out - tgt) ** 2)
+
+    def ours(q, k, v):
+        return jnp.sum((fa.flash_attention(q, k, v) - tgt) ** 2)
+
+    g_naive = jax.grad(naive, argnums=(0, 1, 2))(q, k, v)
+    fa.INTERPRET = True
+    try:
+        g_ours = jax.tree.map(
+            np.asarray, jax.grad(ours, argnums=(0, 1, 2))(q, k, v)
+        )
+    finally:
+        fa.INTERPRET = False
+    for gn, go in zip(g_naive, g_ours):
+        np.testing.assert_allclose(go, np.asarray(gn), atol=5e-3, rtol=1e-3)
+
+
+def test_flash_backward_bf16_close_to_fp32():
+    """bf16 inputs (the training dtype) through the Pallas backward: grads
+    must track the fp32 naive autodiff within bf16 tolerance."""
+    import imagdressing_tpu.kernels.flash_attention as fa
+
+    rng = np.random.default_rng(13)
+    B, S, H, D = 1, 256, 2, 8
+    qf, kf, vf, krf, vrf = (
+        rng.standard_normal((B, S, H, D)).astype(np.float32) for _ in range(5)
+    )
+    scale = jnp.asarray([0.8], jnp.float32)
+    tgt = rng.standard_normal((B, S, H, D)).astype(np.float32)
+
+    def naive(q, k, v, kr, vr):
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) / np.sqrt(D)
+        p = jax.nn.softmax(logits, -1)
+        out = jnp.einsum("bhqk,bkhd->bqhd", p, v)
+        logits_r = jnp.einsum("bqhd,bkhd->bhqk", q, kr) / np.sqrt(D)
+        pr = jax.nn.softmax(logits_r, -1)
+        out = out + 0.8 * jnp.einsum("bhqk,bkhd->bqhd", pr, vr)
+        return jnp.sum((out - tgt) ** 2)
+
+    def ours(q, k, v, kr, vr):
+        out = fa.flash_attention(q, k, v, kr, vr, scale)
+        return jnp.sum((out.astype(jnp.float32) - tgt) ** 2)
+
+    g_naive = jax.grad(naive, argnums=(0, 1, 2))(qf, kf, vf, krf, vrf)
+    args16 = tuple(
+        jnp.asarray(a, jnp.bfloat16) for a in (qf, kf, vf, krf, vrf)
+    )
+    fa.INTERPRET = True
+    try:
+        g_ours = jax.tree.map(
+            np.asarray,
+            jax.grad(ours, argnums=(0, 1, 2))(*args16),
+        )
+    finally:
+        fa.INTERPRET = False
+    for gn, go in zip(g_naive, g_ours):
+        np.testing.assert_allclose(
+            go.astype(np.float32), np.asarray(gn), atol=0.35, rtol=0.1
+        )
 
 
 def test_flash_kernel_interpret_mode():
