@@ -22,6 +22,14 @@ os.environ.setdefault("IMAGDRESSING_DISABLE_PALLAS", "1")
 
 import jax  # noqa: E402
 
+# The axon plugin registers at interpreter start (before conftest), so the
+# env var JAX_PLATFORMS=axon was already captured by jax's config at import.
+# Overriding the config value (selection is still lazy at this point) keeps
+# `jax.devices()` on the 8-device virtual CPU mesh even when the suite is
+# launched with the tunnel env vars set — otherwise mesh-building tests see
+# the single real chip and fail (r3 round-start full-suite run).
+jax.config.update("jax_platforms", "cpu")
+
 _CPUS = jax.devices("cpu")
 jax.config.update("jax_default_device", _CPUS[0])
 jax.config.update("jax_threefry_partitionable", True)
