@@ -265,9 +265,13 @@ class TrainConfig:
     drop_both_prob: float = 0.05
     seed: int = 42
     # UNet activation rematerialization inside the loss: "full" (block
-    # remat, minimum memory), "dots" / "heavy" (selective — see
+    # remat, minimum memory), "dots" / "names" / "heavy" (selective — see
     # models.unet.resolve_remat_policy), "none" (no remat; needs the
-    # activation memory but skips all recompute)
+    # activation memory but skips all recompute). v5e 512x640 bf16
+    # measurements (bench_train.py): b1 none 0.1695 s/step (28.9% MFU),
+    # b4 names 0.4663 s/step (44.3% MFU), b1 full 0.1935 s/step (23.8%).
+    # "full" stays the default because it fits every batch size; pass
+    # "names" (or "none" at small batch) when HBM allows.
     remat_policy: str = "full"
     # parallelism
     data_axis: str = "data"

@@ -8,19 +8,17 @@ from imagdressing_tpu.kernels import flash_attention  # noqa: F401
 def pallas_disabled():
     """Trace-time switch to the XLA fallback paths (attention, groupnorm).
 
-    Pallas TPU kernels lower to opaque custom calls with no SPMD
-    partitioning rule, so inside a MULTI-DEVICE jit (pjit with sharded
-    operands — the TENSOR-PARALLEL serving/training paths, where the
-    kernels' operands really are split across chips) the partitioner at
-    best replicates them, at worst fails. The supported multi-device
-    pattern is shard_map, and every pure-data-parallel path uses it and
-    KEEPS the kernels: ZeRO-2 training (train.step.shard_train_step) and
-    DP inference (pipelines.dressing — per-device program shard_mapped
-    over the data axis). Only TP callers wrap their jitted calls in this
-    context so the `_use_pallas()` gates pick the partitionable XLA
-    implementations while tracing. Set IMAGDRESSING_MULTICHIP_PALLAS=1 to
-    opt out (e.g. after verifying a replicated-custom-call plan is
-    acceptable on real hardware).
+    The INFERENCE forwards (flash attention, fused GroupNorm) carry
+    custom_partitioning SPMD rules (batch/head sharding), so multi-device
+    pjit — the tensor-parallel serving path — keeps the Pallas kernels.
+    The remaining consumer of this context is TP TRAINING
+    (train.step.tp_train_step): the flash BACKWARD kernels have no
+    partitioning rule, so that pjit path still traces with the
+    partitionable XLA implementations. Data-parallel paths use shard_map
+    and keep every kernel by construction: ZeRO-2 training
+    (train.step.shard_train_step) and DP inference (pipelines.dressing).
+    Set IMAGDRESSING_MULTICHIP_PALLAS=1 to opt out of the disable (e.g.
+    to A/B a replicated-custom-call plan on real hardware).
     """
     if os.environ.get("IMAGDRESSING_MULTICHIP_PALLAS", "0") == "1":
         yield

@@ -773,7 +773,106 @@ def _fa_diff(q, k, v, k_ref, v_ref, scale_vec):
 
 
 def _fa_fwd_impl(q, k, v, k_ref, v_ref, scale_vec):
-    return _flash_forward_pallas(q, k, v, k_ref, v_ref, scale_vec)
+    if INTERPRET:
+        # interpret-mode pallas carries an io-callback effect that
+        # custom_partitioning cannot lower; direct call for kernel tests
+        return _flash_forward_pallas(q, k, v, k_ref, v_ref, scale_vec)
+    if k_ref is None:
+        return _fa_fwd_partitioned(4)(q, k, v, scale_vec)
+    return _fa_fwd_partitioned(6)(q, k, v, k_ref, v_ref, scale_vec)
+
+
+# ---------------------------------------------------------------------------
+# SPMD partitioning for the inference forward (custom_partitioning).
+#
+# Pallas custom calls have no built-in partitioning rule, so a bare kernel
+# inside a MULTI-DEVICE pjit is at best replicated by GSPMD. Attention is
+# trivially parallel over batch and heads (each (b, h) row attends over the
+# full sequence independently), so the forward declares exactly that:
+# operands/results may shard over B (dim 0) and H (dim 2); the sequence and
+# head-feature dims are replicated. This is the Megatron pattern the TP
+# weight specs produce (core/tp.py: to_q/k/v column-split -> head-sharded
+# activations), so tensor-parallel serving keeps the Pallas kernel. The
+# per-shard body re-dispatches: compiled Pallas on TPU, reference XLA math
+# elsewhere (which is how the CPU-mesh tests validate the rules bit-exactly).
+#
+# Training backward stays out of scope: grads trace through _fa_fwd/_fa_bwd
+# (shard_map paths on real meshes — ZeRO-2 keeps Pallas there already).
+
+
+def _xla_forward_equiv(q, k, v, k_ref, v_ref, scale_vec):
+    """Reference XLA math for the forward: SDPA + scale*SDPA_ref, fp32
+    softmax, fp32 combine — the per-shard body on non-TPU backends."""
+    d = q.shape[-1]
+    sm = 1.0 / (d**0.5)
+
+    def sdpa(k_, v_):
+        logits = jnp.einsum(
+            "bqhd,bkhd->bhqk", q, k_, preferred_element_type=jnp.float32
+        )
+        p = jax.nn.softmax(logits * sm, axis=-1).astype(q.dtype)
+        return jnp.einsum("bhqk,bkhd->bqhd", p, v_)
+
+    out = sdpa(k, v)
+    if k_ref is not None:
+        s = scale_vec.astype(jnp.float32).reshape(-1, 1, 1, 1)
+        out = (
+            out.astype(jnp.float32) + s * sdpa(k_ref, v_ref).astype(jnp.float32)
+        ).astype(q.dtype)
+    return out
+
+
+def _fwd_body(*args):
+    if len(args) == 4:
+        q, k, v, scale_vec = args
+        k_ref = v_ref = None
+    else:
+        q, k, v, k_ref, v_ref, scale_vec = args
+    if jax.default_backend() == "tpu":
+        return _flash_forward_pallas(q, k, v, k_ref, v_ref, scale_vec)
+    return _xla_forward_equiv(q, k, v, k_ref, v_ref, scale_vec)
+
+
+def _bh_spec(arg_shapes):
+    """(batch_axis, head_axis) mesh-axis names from q's sharding (replicated
+    when absent or not a NamedSharding)."""
+    try:
+        spec = arg_shapes[0].sharding.spec
+    except AttributeError:
+        return None, None
+    b_ax = spec[0] if len(spec) > 0 else None
+    h_ax = spec[2] if len(spec) > 2 else None
+    return b_ax, h_ax
+
+
+@functools.lru_cache(maxsize=None)
+def _fa_fwd_partitioned(nargs: int):
+    """custom_partitioning wrapper for the nargs-operand forward
+    (4 = single source + scale, 6 = dual source + scale)."""
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    p = custom_partitioning(_fwd_body)
+
+    def partition(mesh, arg_shapes, result_shape):
+        b_ax, h_ax = _bh_spec(arg_shapes)
+        qkv = NamedSharding(mesh, PartitionSpec(b_ax, None, h_ax, None))
+        sc = NamedSharding(mesh, PartitionSpec(b_ax))
+        return mesh, _fwd_body, qkv, (qkv,) * (nargs - 1) + (sc,)
+
+    def infer(mesh, arg_shapes, result_shape):
+        b_ax, h_ax = _bh_spec(arg_shapes)
+        return NamedSharding(mesh, PartitionSpec(b_ax, None, h_ax, None))
+
+    kv = "b skv h d"
+    srcs = [kv, kv] if nargs == 4 else [kv, kv, kv, kv]
+    rule = ", ".join(["b sq h d", *srcs, "b"]) + " -> b sq h d"
+    p.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule=rule,
+    )
+    return p
 
 
 def _bwd_backend() -> str:

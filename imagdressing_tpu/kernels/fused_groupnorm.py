@@ -192,6 +192,81 @@ def _xla_reference(x, w, b, add, *, num_groups, eps, act):
     return _apply_act(out.astype(jnp.float32), act).astype(x.dtype)
 
 
+# ---------------------------------------------------------------------------
+# SPMD partitioning (custom_partitioning): GroupNorm reduces over spatial and
+# within-group channels per SAMPLE, so the op is trivially parallel over the
+# batch dim only. Declaring that lets multi-device pjit programs (the
+# tensor-parallel serving path) keep the Pallas kernel instead of GSPMD
+# replicating an opaque custom call. The per-shard body re-dispatches:
+# compiled Pallas on TPU (when the shard's row fits VMEM), reference XLA
+# elsewhere — the CPU-mesh tests validate the rules against single-device
+# bit-exactly. Interpret mode bypasses this wrapper (io-callback effects
+# cannot lower through custom_partitioning).
+
+
+@functools.lru_cache(maxsize=None)
+def _gn_partitioned(ndim: int, with_add: bool, num_groups: int, eps: float,
+                    act: str):
+    from jax.experimental.custom_partitioning import custom_partitioning
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    def body(*args):
+        x, w, b = args[:3]
+        add = args[3] if with_add else None
+        c = x.shape[-1]
+        m = 1
+        for d in x.shape[1:-1]:
+            m *= d
+        if (
+            jax.default_backend() == "tpu"
+            and _pallas_supported(m, c, x.dtype.itemsize)
+        ):
+            x3 = x.reshape(x.shape[0], m, c)
+            return _gn_call(
+                x3, w, b, add, num_groups=num_groups, eps=eps, act=act,
+                interpret=False,
+            ).reshape(x.shape)
+        return _xla_reference(x, w, b, add, num_groups=num_groups, eps=eps,
+                              act=act)
+
+    p = custom_partitioning(body)
+
+    def _b_axis(arg_shapes):
+        try:
+            spec = arg_shapes[0].sharding.spec
+        except AttributeError:
+            return None
+        return spec[0] if len(spec) > 0 else None
+
+    def partition(mesh, arg_shapes, result_shape):
+        b_ax = _b_axis(arg_shapes)
+        xs = NamedSharding(
+            mesh, PartitionSpec(b_ax, *([None] * (ndim - 1)))
+        )
+        cs = NamedSharding(mesh, PartitionSpec(None))
+        args = (xs, cs, cs)
+        if with_add:
+            args = args + (NamedSharding(mesh, PartitionSpec(b_ax, None)),)
+        return mesh, body, xs, args
+
+    def infer(mesh, arg_shapes, result_shape):
+        b_ax = _b_axis(arg_shapes)
+        return NamedSharding(
+            mesh, PartitionSpec(b_ax, *([None] * (ndim - 1)))
+        )
+
+    dims = " ".join(f"m{i}" for i in range(ndim - 2))
+    xs_rule = f"b {dims} c".replace("  ", " ")
+    rule = f"{xs_rule}, c, c" + (", b c" if with_add else "") \
+        + f" -> {xs_rule}"
+    p.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule=rule,
+    )
+    return p
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
 def fused_group_norm_act(x, w, b, add, num_groups, eps, act):
     """silu/none( GroupNorm(x + add[:,None,None,:]) ) in one memory pass.
@@ -203,15 +278,17 @@ def fused_group_norm_act(x, w, b, add, num_groups, eps, act):
     m = 1
     for d in x.shape[1:-1]:
         m *= d
-    if (
-        _use_pallas() or INTERPRET
-    ) and _pallas_supported(m, c, x.dtype.itemsize):
+    if INTERPRET and _pallas_supported(m, c, x.dtype.itemsize):
         x3 = x.reshape(x.shape[0], m, c)
         out = _gn_call(
             x3, w, b, add, num_groups=num_groups, eps=eps, act=act,
-            interpret=INTERPRET,
+            interpret=True,
         )
         return out.reshape(orig_shape)
+    if _use_pallas() and _pallas_supported(m, c, x.dtype.itemsize):
+        fn = _gn_partitioned(x.ndim, add is not None, num_groups, eps, act)
+        args = (x, w, b) + ((add,) if add is not None else ())
+        return fn(*args)
     return _xla_reference(x, w, b, add, num_groups=num_groups, eps=eps,
                           act=act)
 

@@ -323,20 +323,16 @@ class DressingPipeline:
             "person_image": None if person_image is None else jnp.asarray(person_image),
             "mask_image": None if mask_image is None else jnp.asarray(mask_image),
         }
-        if self._tensor_parallel and self.mesh.size > 1:
-            # tensor-parallel pjit: trace with the partitionable XLA paths
-            # (Pallas custom calls have no SPMD rule — kernels/__init__.py).
-            # The pure-DP mesh path runs shard_map and KEEPS the kernels.
-            import imagdressing_tpu.kernels as kernels_lib
-
-            with kernels_lib.pallas_disabled():
-                out = self._jitted(
-                    self.models.params, inputs, scalars, steps, output_uint8
-                )
-        else:
-            out = self._jitted(
-                self.models.params, inputs, scalars, steps, output_uint8
-            )
+        # Tensor-parallel pjit traces WITH the Pallas kernels: the attention
+        # and GroupNorm forwards carry custom_partitioning rules (batch/head
+        # sharding — exactly what the Megatron-style specs in core/tp.py
+        # produce), so GSPMD runs the per-shard kernel instead of
+        # replicating an opaque custom call. Set IMAGDRESSING_DISABLE_PALLAS=1
+        # to fall back to the plain-XLA trace. The pure-DP mesh path runs
+        # shard_map and keeps the kernels by construction.
+        out = self._jitted(
+            self.models.params, inputs, scalars, steps, output_uint8
+        )
         return np.asarray(out)[:b_user]
 
 

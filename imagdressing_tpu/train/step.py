@@ -510,9 +510,10 @@ def tp_train_step(
     )
 
     def wrapped(*args):
-        # multi-device pjit traces with the XLA kernel paths (Pallas custom
-        # calls have no SPMD partitioning rule — kernels/__init__.py); the
-        # shard_map-based ZeRO-2 step keeps Pallas per-device.
+        # TP training traces with the XLA kernel paths: the flash BACKWARD
+        # kernels carry no SPMD partitioning rule (the inference forwards
+        # do — kernels/__init__.py); the shard_map-based ZeRO-2 step keeps
+        # Pallas per-device.
         import imagdressing_tpu.kernels as kernels_lib
 
         with kernels_lib.pallas_disabled():
