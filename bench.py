@@ -38,7 +38,10 @@ def main():
     from imagdressing_tpu.pipelines.dressing import DressingModels, DressingPipeline
 
     steps = 30
-    h, w = 640, 512
+    # BENCH_SIZE=WxH overrides the headline geometry (e.g. 768x1024 for the
+    # high-res figure); the driver-run default stays 512x640.
+    size = os.environ.get("BENCH_SIZE", "512x640")
+    w, h = (int(t) for t in size.split("x"))
 
     models = DressingModels.init_random(jax.random.PRNGKey(0))
     import jax.numpy as jnp
@@ -100,7 +103,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "512x640_tryon_30step_p50_latency",
+                "metric": f"{size}_tryon_30step_p50_latency",
                 "value": round(p50, 4),
                 "unit": "s/image",
                 "vs_baseline": round(2.0 / p50, 3),
