@@ -401,6 +401,21 @@ def _flash_call_res(
     return out, lse, o2
 
 
+def _bwd_di(g32, o_ref, o2_ref, s_b, is_src2, num_sources):
+    """Per-row delta term D_i = rowsum(dO_eff * O_src) for the current
+    source, computed IN-KERNEL from the saved outputs ((bq, D) VMEM blocks)
+    instead of a lane-replicated HBM side input — the (block_q, 128)
+    broadcast it replaces cost a redundant ~128x write+read per layer.
+    src1: O_src = O - s*O2 (dO_eff = g); src2: O_src = O2 (dO_eff = s*g)."""
+    o32 = o_ref[0].astype(jnp.float32)
+    if num_sources == 1:
+        return jnp.sum(g32 * o32, axis=-1, keepdims=True)  # (bq, 1)
+    o2_32 = o2_ref[0].astype(jnp.float32)
+    di1 = jnp.sum(g32 * (o32 - s_b * o2_32), axis=-1, keepdims=True)
+    di2 = s_b * jnp.sum(g32 * o2_32, axis=-1, keepdims=True)
+    return jnp.where(is_src2, di2, di1)
+
+
 def _bwd_dkv_kernel(
     scale_ref,  # (B,)
     q_ref,  # (1, block_q, D)
@@ -408,12 +423,7 @@ def _bwd_dkv_kernel(
     k_ref,  # (1, block_k, D)
     v_ref,  # (1, block_k, D)
     lse_ref,  # (1, 1, block_q, 128)
-    di_ref,  # (1, 1, block_q, 128) rowsum(dO_eff * O_src), coeff included
-    dk_ref,  # (1, block_k, D)
-    dv_ref,  # (1, block_k, D)
-    dk_acc,  # (block_k, D) f32
-    dv_acc,  # (block_k, D) f32
-    *,
+    *refs,  # o_ref [, o2_ref], dk_ref, dv_ref, dk_acc, dv_acc
     sm_scale: float,
     num_heads: int,
     blocks_per_source: int,
@@ -423,6 +433,12 @@ def _bwd_dkv_kernel(
     probabilities from (q, k, lse). For the reference source the effective
     upstream gradient is scale*g (out = O1 + s*O2), and a scale-0 batch row
     contributes exactly zero so its blocks are skipped."""
+    if num_sources == 2:
+        o_ref, o2_ref, dk_ref, dv_ref, dk_acc, dv_acc = refs
+    else:
+        o_ref, dk_ref, dv_ref, dk_acc, dv_acc = refs
+        o2_ref = None
+
     ki = pl.program_id(1)
     qi = pl.program_id(2)
     nq = pl.num_programs(2)
@@ -439,6 +455,8 @@ def _bwd_dkv_kernel(
         coeff = jnp.where(is_src2, s_b, jnp.float32(1.0))
         skip = jnp.logical_and(is_src2, s_b == 0.0)
     else:
+        s_b = jnp.float32(0.0)
+        is_src2 = False
         coeff = jnp.float32(1.0)
         skip = False
 
@@ -453,7 +471,9 @@ def _bwd_dkv_kernel(
         v = v_ref[0]
         bk = k.shape[0]
         reps = bk // 128
-        g = (g_ref[0].astype(jnp.float32) * coeff).astype(q.dtype)  # dO_eff
+        g32 = g_ref[0].astype(jnp.float32)
+        g = (g32 * coeff).astype(q.dtype)  # dO_eff
+        di = _bwd_di(g32, o_ref, o2_ref, s_b, is_src2, num_sources)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision,
@@ -467,7 +487,7 @@ def _bwd_dkv_kernel(
             g, v, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision,
         )  # (bq, bk)
-        ds = p * (dp - jnp.tile(di_ref[0, 0], (1, reps)))
+        ds = p * (dp - di)
         dk_acc[...] += sm_scale * jax.lax.dot_general(
             ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision,
@@ -486,16 +506,19 @@ def _bwd_dq_kernel(
     k_ref,  # (1, block_k, D)
     v_ref,  # (1, block_k, D)
     lse_ref,  # (1, 1, block_q, 128)
-    di_ref,  # (1, 1, block_q, 128)
-    dq_ref,  # (1, block_q, D)
-    dq_acc,  # (block_q, D) f32
-    *,
+    *refs,  # o_ref [, o2_ref], dq_ref, dq_acc
     sm_scale: float,
     num_heads: int,
     blocks_per_source: int,
     num_sources: int,
 ):
     """dQ pass: q-major grid, kv innermost (both sources stream through)."""
+    if num_sources == 2:
+        o_ref, o2_ref, dq_ref, dq_acc = refs
+    else:
+        o_ref, dq_ref, dq_acc = refs
+        o2_ref = None
+
     ki = pl.program_id(2)
     nk = pl.num_programs(2)
 
@@ -510,6 +533,8 @@ def _bwd_dq_kernel(
         coeff = jnp.where(is_src2, s_b, jnp.float32(1.0))
         skip = jnp.logical_and(is_src2, s_b == 0.0)
     else:
+        s_b = jnp.float32(0.0)
+        is_src2 = False
         coeff = jnp.float32(1.0)
         skip = False
 
@@ -524,7 +549,9 @@ def _bwd_dq_kernel(
         v = v_ref[0]
         bk = k.shape[0]
         reps = bk // 128
-        g = (g_ref[0].astype(jnp.float32) * coeff).astype(q.dtype)
+        g32 = g_ref[0].astype(jnp.float32)
+        g = (g32 * coeff).astype(q.dtype)
+        di = _bwd_di(g32, o_ref, o2_ref, s_b, is_src2, num_sources)
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision,
@@ -534,7 +561,7 @@ def _bwd_dq_kernel(
             g, v, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision,
         )
-        ds = p * (dp - jnp.tile(di_ref[0, 0], (1, reps)))
+        ds = p * (dp - di)
         dq_acc[...] += sm_scale * jax.lax.dot_general(
             ds.astype(q.dtype), k, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision,
@@ -562,7 +589,8 @@ def _flash_bwd_call(
     k: jnp.ndarray,  # (BH, num_sources*Skv, D)
     v: jnp.ndarray,
     lse: jnp.ndarray,  # (BH, num_sources, Sq, 128) f32
-    di: jnp.ndarray,  # (BH, num_sources, Sq, 128) f32
+    o: jnp.ndarray,  # (BH, Sq, D) forward output (folded)
+    o2,  # (BH, Sq, D) reference-source output, or None (single source)
     ref_scale: jnp.ndarray,  # (B,) f32
     *,
     num_heads: int,
@@ -573,7 +601,9 @@ def _flash_bwd_call(
     interpret: bool = False,
 ):
     """Runs both backward kernels; returns (dq, dk_cat, dv_cat) with dk/dv
-    concatenated over sources along the sequence axis (forward kf layout)."""
+    concatenated over sources along the sequence axis (forward kf layout).
+    The per-row delta terms are computed in-kernel from (o, o2) blocks —
+    no lane-replicated side tensors in HBM."""
     bh, sq, d = q.shape
     skv_total = k.shape[1]
     bps = (skv_total // num_sources) // block_k
@@ -590,25 +620,30 @@ def _flash_bwd_call(
     pair_flops = 2 * sq * skv_total * d * bh
     interp = pltpu.InterpretParams() if interpret else False
 
+    o_args = (o,) if o2 is None else (o, o2)
+
+    def qspec(order):
+        # q-indexed (1, block_q, D) block under either grid order
+        if order == "kv_major":
+            return pl.BlockSpec((1, block_q, d),
+                                lambda b, ki, qi, *_: (b, qi, 0))
+        return pl.BlockSpec((1, block_q, d), lambda b, qi, ki, *_: (b, qi, 0))
+
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, **common),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(bh, total_k_blocks, n_q_blocks),
             in_specs=[
-                pl.BlockSpec((1, block_q, d), lambda b, ki, qi, *_: (b, qi, 0)),
-                pl.BlockSpec((1, block_q, d), lambda b, ki, qi, *_: (b, qi, 0)),
+                qspec("kv_major"),
+                qspec("kv_major"),
                 pl.BlockSpec((1, block_k, d), lambda b, ki, qi, *_: (b, ki, 0)),
                 pl.BlockSpec((1, block_k, d), lambda b, ki, qi, *_: (b, ki, 0)),
                 pl.BlockSpec(
                     (1, 1, block_q, 128),
                     lambda b, ki, qi, *_: (b, ki // bps, qi, 0),
                 ),
-                pl.BlockSpec(
-                    (1, 1, block_q, 128),
-                    lambda b, ki, qi, *_: (b, ki // bps, qi, 0),
-                ),
-            ],
+            ] + [qspec("kv_major")] * len(o_args),
             out_specs=[
                 pl.BlockSpec((1, block_k, d), lambda b, ki, qi, *_: (b, ki, 0)),
                 pl.BlockSpec((1, block_k, d), lambda b, ki, qi, *_: (b, ki, 0)),
@@ -632,7 +667,7 @@ def _flash_bwd_call(
             transcendentals=bh * sq * skv_total,
         ),
         interpret=interp,
-    )(ref_scale, q, g, k, v, lse, di)
+    )(ref_scale, q, g, k, v, lse, *o_args)
 
     (dq,) = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, **common),
@@ -640,19 +675,15 @@ def _flash_bwd_call(
             num_scalar_prefetch=1,
             grid=(bh, n_q_blocks, total_k_blocks),
             in_specs=[
-                pl.BlockSpec((1, block_q, d), lambda b, qi, ki, *_: (b, qi, 0)),
-                pl.BlockSpec((1, block_q, d), lambda b, qi, ki, *_: (b, qi, 0)),
+                qspec("q_major"),
+                qspec("q_major"),
                 pl.BlockSpec((1, block_k, d), lambda b, qi, ki, *_: (b, ki, 0)),
                 pl.BlockSpec((1, block_k, d), lambda b, qi, ki, *_: (b, ki, 0)),
                 pl.BlockSpec(
                     (1, 1, block_q, 128),
                     lambda b, qi, ki, *_: (b, ki // bps, qi, 0),
                 ),
-                pl.BlockSpec(
-                    (1, 1, block_q, 128),
-                    lambda b, qi, ki, *_: (b, ki // bps, qi, 0),
-                ),
-            ],
+            ] + [qspec("q_major")] * len(o_args),
             out_specs=[
                 pl.BlockSpec((1, block_q, d), lambda b, qi, ki, *_: (b, qi, 0)),
             ],
@@ -669,7 +700,7 @@ def _flash_bwd_call(
             transcendentals=bh * sq * skv_total,
         ),
         interpret=interp,
-    )(ref_scale, q, g, k, v, lse, di)
+    )(ref_scale, q, g, k, v, lse, *o_args)
 
     return dq, dk, dv
 
@@ -906,35 +937,24 @@ def _fa_bwd_pallas(res, g):
     sm = 1.0 / (d**0.5)
     dual = k_ref is not None
     qf, gf, of = _fold4(q, b, h), _fold4(g, b, h), _fold4(out, b, h)
-    gf32 = gf.astype(jnp.float32)
     if dual:
         kf = jnp.concatenate([_fold4(k, b, h), _fold4(k_ref, b, h)], axis=1)
         vf = jnp.concatenate([_fold4(v, b, h), _fold4(v_ref, b, h)], axis=1)
-        s_bh = jnp.repeat(scale_vec.astype(jnp.float32), h)[:, None, None]
-        o2f32 = o2.astype(jnp.float32)
-        go2 = jnp.sum(gf32 * o2f32, axis=-1)  # (BH, Sq)
-        di2 = s_bh[:, :, 0] * go2  # dO_eff = s*g against O2
-        o1f32 = of.astype(jnp.float32) - s_bh * o2f32
-        di1 = jnp.sum(gf32 * o1f32, axis=-1)
-        di = jnp.stack([di1, di2], axis=1)  # (BH, 2, Sq)
         # out = O1 + s * O2  =>  d out / d s = O2
-        dscale = (
-            jnp.sum(go2, axis=-1).reshape(b, h).sum(axis=1)
-            .astype(scale_vec.dtype)
-        )
+        go2 = jnp.sum(gf.astype(jnp.float32) * o2.astype(jnp.float32),
+                      axis=(-1, -2))  # (BH,)
+        dscale = go2.reshape(b, h).sum(axis=1).astype(scale_vec.dtype)
         ns = 2
     else:
         kf, vf = _fold4(k, b, h), _fold4(v, b, h)
-        di = jnp.sum(gf32 * of.astype(jnp.float32), axis=-1)[:, None, :]
         dscale = jnp.zeros_like(scale_vec)
         ns = 1
-    di_b = jnp.broadcast_to(di[..., None], (*di.shape, 128))
 
     skv = k.shape[1]
     bq = _pick_block(sq, _BWD_PALLAS_BLOCK_Q)
     bk = _pick_block(skv, _BWD_PALLAS_BLOCK_K)
     dq, dkc, dvc = _flash_bwd_call(
-        qf, gf, kf, vf, lse, di_b, scale_vec,
+        qf, gf, kf, vf, lse, of, o2 if dual else None, scale_vec,
         num_heads=h, sm_scale=sm, block_q=bq, block_k=bk,
         num_sources=ns, interpret=INTERPRET,
     )
