@@ -37,6 +37,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 
+# Lane width for the saved log-sum-exp residual in HBM. Per-row scalars
+# live lane-replicated (block_q, 128) in VMEM, but storing all 128 lanes
+# to HBM is a 128x-redundant write plus a re-read per (q-block, kv-block)
+# pair in the backward — at 5120 tokens that re-read outweighs the
+# q/k/v block reads themselves. 8 lanes (one f32 sublane tile) keeps the
+# DMA aligned at 1/16 the traffic; kernels broadcast (bq, 1) in-register.
+_LSE_LANES = 8
+
 # Set True (tests) to run the kernel through the Pallas interpreter on CPU.
 INTERPRET = False
 
@@ -288,11 +296,11 @@ def _flash_res_kernel(
     @pl.when(is_last_of_first_source)
     def _stash_source0():
         out0_scratch[...] = acc_scratch[...] / l_scratch[:, :1]
-        lse_ref[0, 0] = _lse()
+        lse_ref[0, 0] = _lse()[:, :_LSE_LANES]
 
     @pl.when(is_last)
     def _finalize():
-        lse_ref[0, 0] = _lse()
+        lse_ref[0, 0] = _lse()[:, :_LSE_LANES]
         if num_sources == 2:
             o2 = acc_scratch[...] / l_scratch[:, :1]
             o2_ref[0] = o2.astype(o2_ref.dtype)
@@ -328,7 +336,8 @@ def _flash_call_res(
     interpret: bool = False,
 ):
     """Forward with residuals. Returns (out, lse, o2):
-    out (BH,Sq,D), lse (BH, num_sources, Sq, 128) fp32, o2 (BH,Sq,D) or None.
+    out (BH,Sq,D), lse (BH, num_sources, Sq, _LSE_LANES) fp32,
+    o2 (BH,Sq,D) or None.
     """
     bh, sq, d = q.shape
     skv_total = k.shape[1]
@@ -348,12 +357,13 @@ def _flash_call_res(
 
     out_shapes = [
         jax.ShapeDtypeStruct(q.shape, q.dtype),
-        jax.ShapeDtypeStruct((bh, num_sources, sq, 128), jnp.float32),
+        jax.ShapeDtypeStruct((bh, num_sources, sq, _LSE_LANES),
+                             jnp.float32),
     ]
     out_specs = [
         pl.BlockSpec((1, block_q, d), lambda b, qi, ki, *_: (b, qi, 0)),
         pl.BlockSpec(
-            (1, 1, block_q, 128),
+            (1, 1, block_q, _LSE_LANES),
             lambda b, qi, ki, *_: (b, ki // bps, qi, 0),
         ),
     ]
@@ -422,7 +432,7 @@ def _bwd_dkv_kernel(
     g_ref,  # (1, block_q, D) upstream dO
     k_ref,  # (1, block_k, D)
     v_ref,  # (1, block_k, D)
-    lse_ref,  # (1, 1, block_q, 128)
+    lse_ref,  # (1, 1, block_q, _LSE_LANES)
     *refs,  # o_ref [, o2_ref], dk_ref, dv_ref, dk_acc, dv_acc
     sm_scale: float,
     num_heads: int,
@@ -469,8 +479,6 @@ def _bwd_dkv_kernel(
         q = q_ref[0]  # (bq, D)
         k = k_ref[0]  # (bk, D)
         v = v_ref[0]
-        bk = k.shape[0]
-        reps = bk // 128
         g32 = g_ref[0].astype(jnp.float32)
         g = (g32 * coeff).astype(q.dtype)  # dO_eff
         di = _bwd_di(g32, o_ref, o2_ref, s_b, is_src2, num_sources)
@@ -478,7 +486,7 @@ def _bwd_dkv_kernel(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision,
         ) * sm_scale  # (bq, bk) f32
-        p = jnp.exp(s - jnp.tile(lse_ref[0, 0], (1, reps)))
+        p = jnp.exp(s - lse_ref[0, 0][:, :1])
         dv_acc[...] += jax.lax.dot_general(
             p.astype(q.dtype), g, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision,
@@ -505,7 +513,7 @@ def _bwd_dq_kernel(
     g_ref,  # (1, block_q, D)
     k_ref,  # (1, block_k, D)
     v_ref,  # (1, block_k, D)
-    lse_ref,  # (1, 1, block_q, 128)
+    lse_ref,  # (1, 1, block_q, _LSE_LANES)
     *refs,  # o_ref [, o2_ref], dq_ref, dq_acc
     sm_scale: float,
     num_heads: int,
@@ -547,8 +555,6 @@ def _bwd_dq_kernel(
         q = q_ref[0]
         k = k_ref[0]
         v = v_ref[0]
-        bk = k.shape[0]
-        reps = bk // 128
         g32 = g_ref[0].astype(jnp.float32)
         g = (g32 * coeff).astype(q.dtype)
         di = _bwd_di(g32, o_ref, o2_ref, s_b, is_src2, num_sources)
@@ -556,7 +562,7 @@ def _bwd_dq_kernel(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision,
         ) * sm_scale
-        p = jnp.exp(s - jnp.tile(lse_ref[0, 0], (1, reps)))
+        p = jnp.exp(s - lse_ref[0, 0][:, :1])
         dp = jax.lax.dot_general(
             g, v, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision,
@@ -588,7 +594,7 @@ def _flash_bwd_call(
     g: jnp.ndarray,  # (BH, Sq, D)
     k: jnp.ndarray,  # (BH, num_sources*Skv, D)
     v: jnp.ndarray,
-    lse: jnp.ndarray,  # (BH, num_sources, Sq, 128) f32
+    lse: jnp.ndarray,  # (BH, num_sources, Sq, _LSE_LANES) f32
     o: jnp.ndarray,  # (BH, Sq, D) forward output (folded)
     o2,  # (BH, Sq, D) reference-source output, or None (single source)
     ref_scale: jnp.ndarray,  # (B,) f32
@@ -640,7 +646,7 @@ def _flash_bwd_call(
                 pl.BlockSpec((1, block_k, d), lambda b, ki, qi, *_: (b, ki, 0)),
                 pl.BlockSpec((1, block_k, d), lambda b, ki, qi, *_: (b, ki, 0)),
                 pl.BlockSpec(
-                    (1, 1, block_q, 128),
+                    (1, 1, block_q, _LSE_LANES),
                     lambda b, ki, qi, *_: (b, ki // bps, qi, 0),
                 ),
             ] + [qspec("kv_major")] * len(o_args),
@@ -680,7 +686,7 @@ def _flash_bwd_call(
                 pl.BlockSpec((1, block_k, d), lambda b, qi, ki, *_: (b, ki, 0)),
                 pl.BlockSpec((1, block_k, d), lambda b, qi, ki, *_: (b, ki, 0)),
                 pl.BlockSpec(
-                    (1, 1, block_q, 128),
+                    (1, 1, block_q, _LSE_LANES),
                     lambda b, qi, ki, *_: (b, ki // bps, qi, 0),
                 ),
             ] + [qspec("q_major")] * len(o_args),
@@ -1048,7 +1054,8 @@ def _flash_forward_pallas(
 
     Returns SDPA(q,k,v) [+ ref_scale * SDPA(q,k_ref,v_ref)], shape (B,Sq,H,D).
     With save_residuals=True, returns (out, lse, o2) where lse
-    (BH, num_sources, Sq, 128) and o2 (BH, Sq, D; dual only, else None) stay
+    (BH, num_sources, Sq, _LSE_LANES) and o2 (BH, Sq, D; dual only,
+    else None) stay
     in the kernel's folded layout for the backward kernels.
     """
     b, sq, h, d = q.shape
