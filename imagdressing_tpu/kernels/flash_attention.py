@@ -49,6 +49,40 @@ _LSE_LANES = 8
 INTERPRET = False
 
 
+def _softmax_block_update(q_ref, k_ref, v_ref, m_scratch, l_scratch,
+                          acc_scratch, sm_scale):
+    """One streaming-softmax block update against fp32 (m, l, acc) scratch.
+
+    MXU dots run in the INPUT dtype (bf16 native single-pass; fp32 parity
+    mode uses full-precision passes) and accumulate fp32. Casting bf16
+    inputs up to fp32 before the dot would force the multi-pass fp32 MXU
+    path for no accuracy gain."""
+    is_f32 = q_ref.dtype == jnp.float32
+    precision = (
+        jax.lax.Precision.HIGHEST if is_f32 else jax.lax.Precision.DEFAULT
+    )
+    q = q_ref[0]  # (bq, D)
+    k = k_ref[0]  # (bk, D)
+    v = v_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    ) * sm_scale  # (bq, bk) fp32
+    m_prev = m_scratch[:, :1]  # (bq, 1)
+    m_cur = jnp.max(s, axis=-1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    p = jnp.exp(s - m_new)  # (bq, bk) fp32
+    corr = jnp.exp(m_prev - m_new)  # (bq, 1)
+    l_new = l_scratch[:, :1] * corr + jnp.sum(p, axis=-1, keepdims=True)
+    acc = acc_scratch[...] * corr + jax.lax.dot_general(
+        p.astype(q.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=precision,
+    )
+    m_scratch[...] = jnp.broadcast_to(m_new, m_scratch.shape)
+    l_scratch[...] = jnp.broadcast_to(l_new, l_scratch.shape)
+    acc_scratch[...] = acc
+
+
 def _flash_kernel(
     # scalar prefetch
     scale_ref,  # (B,) fp32 per-batch ref-source scale
@@ -93,39 +127,8 @@ def _flash_kernel(
 
     @pl.when(jnp.logical_not(skip))
     def _compute():
-        # MXU dots run in the INPUT dtype (bf16 native single-pass; fp32
-        # parity mode uses full-precision passes) and accumulate fp32.
-        # Casting bf16 inputs up to fp32 before the dot would force the
-        # multi-pass fp32 MXU path for no accuracy gain.
-        is_f32 = q_ref.dtype == jnp.float32
-        precision = (
-            jax.lax.Precision.HIGHEST if is_f32 else jax.lax.Precision.DEFAULT
-        )
-        q = q_ref[0]  # (bq, D)
-        k = kv_k_ref[0]  # (bk, D)
-        v = kv_v_ref[0]
-
-        s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision,
-        )  # (bq, bk) fp32
-        s = s * sm_scale
-
-        m_prev = m_scratch[:, :1]  # (bq, 1)
-        m_cur = jnp.max(s, axis=-1, keepdims=True)  # (bq, 1)
-        m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.exp(s - m_new)  # (bq, bk) fp32
-        corr = jnp.exp(m_prev - m_new)  # (bq, 1)
-        l_new = l_scratch[:, :1] * corr + jnp.sum(p, axis=-1, keepdims=True)
-
-        acc = acc_scratch[...] * corr + jax.lax.dot_general(
-            p.astype(q.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=precision,
-        )
-
-        m_scratch[...] = jnp.broadcast_to(m_new, m_scratch.shape)
-        l_scratch[...] = jnp.broadcast_to(l_new, l_scratch.shape)
-        acc_scratch[...] = acc
+        _softmax_block_update(q_ref, kv_k_ref, kv_v_ref, m_scratch,
+                              l_scratch, acc_scratch, sm_scale)
 
     # Finalize at each source boundary.
     is_last_of_first_source = (num_sources == 2) and (ki == blocks_per_source - 1)
@@ -260,31 +263,8 @@ def _flash_res_kernel(
         l_scratch[...] = jnp.zeros_like(l_scratch)
         acc_scratch[...] = jnp.zeros_like(acc_scratch)
 
-    # same streaming-softmax update as _flash_kernel
-    is_f32 = q_ref.dtype == jnp.float32
-    precision = (
-        jax.lax.Precision.HIGHEST if is_f32 else jax.lax.Precision.DEFAULT
-    )
-    q = q_ref[0]
-    k = kv_k_ref[0]
-    v = kv_v_ref[0]
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=precision,
-    ) * sm_scale
-    m_prev = m_scratch[:, :1]
-    m_cur = jnp.max(s, axis=-1, keepdims=True)
-    m_new = jnp.maximum(m_prev, m_cur)
-    p = jnp.exp(s - m_new)
-    corr = jnp.exp(m_prev - m_new)
-    l_new = l_scratch[:, :1] * corr + jnp.sum(p, axis=-1, keepdims=True)
-    acc = acc_scratch[...] * corr + jax.lax.dot_general(
-        p.astype(q.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=precision,
-    )
-    m_scratch[...] = jnp.broadcast_to(m_new, m_scratch.shape)
-    l_scratch[...] = jnp.broadcast_to(l_new, l_scratch.shape)
-    acc_scratch[...] = acc
+    _softmax_block_update(q_ref, kv_k_ref, kv_v_ref, m_scratch,
+                          l_scratch, acc_scratch, sm_scale)
 
     def _lse():  # (block_q, 128) lane-replicated log-sum-exp
         return m_scratch[...] + jnp.log(l_scratch[...])
