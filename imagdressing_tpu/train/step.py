@@ -510,13 +510,16 @@ def tp_train_step(
     )
 
     def wrapped(*args):
-        # TP training traces with the XLA kernel paths: the flash BACKWARD
-        # kernels carry no SPMD partitioning rule (the inference forwards
-        # do — kernels/__init__.py); the shard_map-based ZeRO-2 step keeps
-        # Pallas per-device.
+        # TP training keeps the PALLAS FORWARDS: flash attention and fused
+        # GroupNorm route through their custom_partitioning ops (batch/head
+        # sharding rules), so GSPMD runs the per-shard compiled kernels.
+        # Only the flash BACKWARD switches to the blockwise XLA
+        # implementation (plain einsum/scan math GSPMD shards natively) —
+        # the fused Pallas backward custom calls have no SPMD rule. The
+        # shard_map-based ZeRO-2 step keeps every kernel, fwd and bwd.
         import imagdressing_tpu.kernels as kernels_lib
 
-        with kernels_lib.pallas_disabled():
+        with kernels_lib.flash_bwd_xla():
             return jitted(*args)
 
     wrapped.lower = jitted.lower

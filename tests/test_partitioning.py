@@ -177,3 +177,83 @@ def test_tp_pipeline_keeps_partitioned_kernels(monkeypatch):
     plain = DressingPipeline(models, preset)
     out_plain = plain(**kw)
     np.testing.assert_allclose(out_tp, out_plain, atol=2e-3)
+
+
+def test_tp_train_keeps_partitioned_flash_forward(monkeypatch):
+    """TP TRAINING keeps the Pallas kernels (VERDICT r3 weak #3): the step
+    traces under kernels.flash_bwd_xla — the attention FORWARD routes
+    through the custom_partitioning op (per-shard compiled Pallas on TPU),
+    only the backward switches to the GSPMD-shardable blockwise XLA math —
+    and its loss matches the plain single-device step."""
+    import imagdressing_tpu.ops.attention as attn
+    from jax.sharding import NamedSharding
+    from imagdressing_tpu.core import mesh as mesh_lib
+    from imagdressing_tpu.core.config import TrainConfig
+    from imagdressing_tpu.pipelines import DressingModels
+    from imagdressing_tpu.train.step import (
+        init_train_state,
+        make_train_step,
+        tp_train_step,
+    )
+
+    models = DressingModels.init_random(jax.random.PRNGKey(0), nano=True)
+    cfg = TrainConfig(train_batch_size=2, warmup_steps=2)
+    rng = np.random.default_rng(0)
+    # 128x128 -> 16x16 latents -> 256-token top self-attention (the smallest
+    # flash-supported length, same geometry as the TP pipeline test)
+    batch = {
+        "person_image": jnp.asarray(
+            rng.standard_normal((2, 128, 128, 3)).astype(np.float32).clip(-1, 1)),
+        "cloth_image": jnp.asarray(
+            rng.standard_normal((2, 128, 128, 3)).astype(np.float32).clip(-1, 1)),
+        "cloth_clip": jnp.asarray(
+            rng.standard_normal((2, 56, 56, 3)).astype(np.float32)),
+        "text_ids": jnp.asarray(rng.integers(0, 255, (2, 77)), jnp.int32),
+    }
+
+    # reference: plain replicated step, default (XLA) kernel paths
+    state, frozen, tx = init_train_state(models, cfg)
+    step = make_train_step(models, cfg, tx)
+    _, m_ref = jax.jit(step)(state, frozen, batch, jax.random.PRNGKey(3))
+
+    # TP step with the kernel dispatchers LIVE (drop the CPU-backend veto;
+    # the per-shard partitioned body falls to the XLA math on CPU)
+    monkeypatch.setattr(
+        attn, "_use_pallas",
+        lambda: os.environ.get("IMAGDRESSING_DISABLE_PALLAS", "0") != "1",
+    )
+    monkeypatch.setattr(fg, "_use_pallas", lambda: True)
+    monkeypatch.delenv("IMAGDRESSING_DISABLE_PALLAS", raising=False)
+
+    calls = []
+    orig_impl = fa._fa_fwd_partitioned
+
+    def spy(nargs):
+        calls.append(nargs)
+        return orig_impl(nargs)
+
+    monkeypatch.setattr(fa, "_fa_fwd_partitioned", spy)
+
+    mesh = mesh_lib.make_mesh(data=1, model=2,
+                              devices=jax.devices("cpu")[:2])
+    state2, frozen2, tx2 = init_train_state(models, cfg)
+    jitted, s_state, s_frozen = tp_train_step(
+        models, cfg, tx2, mesh, state2, frozen2
+    )
+    s_batch = jax.device_put(
+        batch, NamedSharding(mesh, P(mesh_lib.DATA_AXIS))
+    )
+    rng_dev = jax.device_put(
+        jax.random.PRNGKey(3), NamedSharding(mesh, P())
+    )
+    with mesh:
+        _, m_tp = jitted(s_state, s_frozen, s_batch, rng_dev)
+    assert calls, (
+        "the TP train pjit trace never reached the partitioned flash op — "
+        "tensor-parallel training lost the Pallas forward kernels again"
+    )
+    np.testing.assert_allclose(
+        float(m_ref["loss"]), float(m_tp["loss"]), rtol=1e-4
+    )
+    # the trace-time env switch must not leak into the process env
+    assert os.environ.get("IMAGDRESSING_FLASH_BWD") is None
