@@ -43,6 +43,11 @@ def build_argparser():
     p.add_argument("--crop_width", type=int, default=512)
     p.add_argument("--dataloader_num_workers", type=int, default=4)
     p.add_argument("--logging_steps", type=int, default=10)
+    p.add_argument("--report_to", default="jsonl",
+                   choices=["jsonl", "tensorboard", "all", "wandb"],
+                   help="metric sink(s): jsonl (default, always on), "
+                        "tensorboard (adds an offline event file under "
+                        "output_dir/logs), all (reference train.py:146-155)")
     p.add_argument("--seed", type=int, default=42)
     p.add_argument(
         "--tensor_parallel", type=int, default=1,
@@ -152,12 +157,13 @@ def main(argv=None):
 
     rng = jax.device_put(jax.random.PRNGKey(cfg.seed), NamedSharding(mesh, P()))
 
-    # metrics sink (replaces the reference's tensorboard/wandb trackers,
-    # train.py:484-485 — a dependency-free jsonl any dashboard can tail)
-    metrics_path = os.path.join(args.output_dir, "metrics.jsonl")
+    # metrics sink(s): jsonl always; --report_to tensorboard adds a
+    # dependency-free TensorBoard event file (train/trackers.py replaces the
+    # reference's accelerate trackers, train.py:146-155,484-485)
+    from imagdressing_tpu.train.trackers import make_tracker
+
     os.makedirs(args.output_dir, exist_ok=True)
-    metrics_file = open(metrics_path, "a", buffering=1)
-    import json as _json
+    tracker = make_tracker(args.report_to, args.output_dir)
 
     start = int(jax.device_get(state.step))
     t_data = t_step = 0.0
@@ -175,14 +181,13 @@ def main(argv=None):
                 step + 1, metrics["loss"], metrics["grad_norm"],
                 (t2 - t1), (t1 - t0),
             )
-            metrics_file.write(_json.dumps({
-                "step": step + 1,
+            tracker.log(step + 1, {
                 "loss": float(metrics["loss"]),
                 "grad_norm": float(metrics["grad_norm"]),
                 "step_time_s": t2 - t1,
                 "data_time_s": t1 - t0,
                 "images_per_sec": global_batch / max(t2 - t1, 1e-9),
-            }) + "\n")
+            })
             t0 = t2
         else:
             t0 = time.perf_counter()
@@ -192,6 +197,7 @@ def main(argv=None):
 
     ckpt.save(state, {"step": cfg.num_train_steps})
     ckpt.wait()
+    tracker.close()
     log.info("training done")
 
 

@@ -98,3 +98,21 @@ def test_train_cli_tensor_parallel(stubbed, tmp_path):
     lines = [json.loads(ln) for ln in
              (out / "metrics.jsonl").read_text().splitlines()]
     assert lines and np.isfinite(lines[-1]["loss"])
+
+
+def test_train_cli_report_to_tensorboard(stubbed, tmp_path):
+    """--report_to tensorboard writes an events file next to the jsonl
+    (reference --report_to seat, train.py:146-155,485)."""
+    import os
+
+    mf = _write_manifest(tmp_path)
+    out = tmp_path / "run_tb"
+    train_cli.main(
+        _common_args(mf, tmp_path, out) + ["--report_to", "tensorboard"]
+    )
+    events = [f for f in os.listdir(out / "logs")
+              if f.startswith("events.out.tfevents.")]
+    assert len(events) == 1
+    # jsonl stays on as the always-available sink
+    lines = (out / "metrics.jsonl").read_text().splitlines()
+    assert len(lines) == 2
