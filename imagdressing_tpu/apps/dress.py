@@ -62,6 +62,20 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--width", type=int, default=None)
     p.add_argument("--guidance_scale", type=float, default=None)
     p.add_argument("--image_scale", type=float, default=None)
+    p.add_argument("--controlnet_scale", type=float, default=None)
+    p.add_argument("--control_guidance_start", type=float, default=None,
+                   help="ControlNet step window lower bound in [0,1] "
+                        "(diffusers controlnet_keep; default 0 = from the "
+                        "first step)")
+    p.add_argument("--control_guidance_end", type=float, default=None,
+                   help="ControlNet step window upper bound in [0,1] "
+                        "(default 1 = through the last step)")
+    p.add_argument("--eta", type=float, default=None,
+                   help="DDIM stochasticity in [0,1] (diffusers eta; "
+                        "0 = deterministic, ddim sampler only)")
+    p.add_argument("--clip_skip", type=int, default=None,
+                   help="drop the last k CLIP text layers (diffusers "
+                        "clip_skip; anime checkpoints conventionally use 2)")
     p.add_argument("--lora_scale", type=float, default=0.2)
     p.add_argument("--seed", type=int, default=42)
     p.add_argument("--batch_size", type=int, default=1,
@@ -101,6 +115,8 @@ def main(argv=None):
         preset = dataclasses.replace(preset, height=args.height)
     if args.width:
         preset = dataclasses.replace(preset, width=args.width)
+    if args.clip_skip is not None:
+        preset = dataclasses.replace(preset, clip_skip=args.clip_skip)
     models = load_dressing_models(
         base_dir=args.base_dir,
         vae_path=args.vae_path,
@@ -281,6 +297,10 @@ def main(argv=None):
             num_inference_steps=args.num_inference_steps,
             guidance_scale=args.guidance_scale,
             image_scale=args.image_scale,
+            controlnet_scale=args.controlnet_scale,
+            control_guidance_start=args.control_guidance_start,
+            control_guidance_end=args.control_guidance_end,
+            eta=args.eta,
             **batched_extra,
         )
         for i, item in enumerate(chunk[:n_real]):

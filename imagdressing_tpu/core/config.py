@@ -197,6 +197,23 @@ class PipelineConfig:
     ipa_scale: float = 0.0
     lora_scale: float = 0.0
     controlnet_conditioning_scale: float = 1.0
+    # Per-step ControlNet windowing: residuals apply only on steps i with
+    # start <= i/N and (i+1)/N <= end (diffusers controlnet_keep schedule,
+    # reference ..._controlnet.py:384-401,518-525). Defaults are a no-op —
+    # every shipped reference script runs the defaults.
+    control_guidance_start: float = 0.0
+    control_guidance_end: float = 1.0
+    # DDIM stochasticity (diffusers eta; variance-injecting DDIM->DDPM
+    # interpolation, reference IMAGDressing_v1_pipeline.py:102-113). 0 =
+    # deterministic (every shipped script). Ignored by dpm2m/unipc (the
+    # multistep ODE solvers take no eta, matching diffusers'
+    # prepare_extra_step_kwargs accepts-eta gate).
+    eta: float = 0.0
+    # Drop the last k CLIP text-encoder layers, keep the final LayerNorm
+    # (diffusers clip_skip; reference encode_prompt
+    # IMAGDressing_v1_pipeline.py:185-201). Architecture-static: changing it
+    # recompiles, like every diffusers pipeline reload.
+    clip_skip: int = 0
     use_controlnet: bool = False
     use_ipa: bool = False
     use_inpaint: bool = False

@@ -133,15 +133,26 @@ def apply_text(
     params: Params,
     cfg: CLIPTextConfig,
     input_ids: jnp.ndarray,  # (B, 77) int32
+    *,
+    clip_skip: int = 0,
 ) -> jnp.ndarray:
     """Returns last_hidden_state (B, 77, hidden) after final LN — what
-    diffusers' encode_prompt feeds the UNet."""
+    diffusers' encode_prompt feeds the UNet.
+
+    clip_skip=k drops the LAST k encoder layers and still applies the final
+    LayerNorm — diffusers' `hidden_states[-(clip_skip + 1)]` +
+    `final_layer_norm` semantics (reference encode_prompt,
+    IMAGDressing_v1_pipeline.py:185-201); anime checkpoints ship with
+    clip_skip=2 conventions."""
     b, s = input_ids.shape
     x = params["token_embedding"]["embedding"][input_ids]
     x = x + params["position_embedding"]["embedding"][:s]
     mask = jnp.tril(jnp.ones((s, s), jnp.bool_))[None, None]
     act = nn.quick_gelu if cfg.hidden_act == "quick_gelu" else nn.gelu
-    for lp in params["layers"]:
+    layers = params["layers"]
+    if clip_skip:
+        layers = layers[: len(layers) - clip_skip]
+    for lp in layers:
         x = _encoder_layer(lp, x, cfg.num_heads, act, cfg.layer_norm_eps, mask)
     return nn.layer_norm(params["final_layer_norm"], x, eps=cfg.layer_norm_eps)
 

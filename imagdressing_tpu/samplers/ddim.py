@@ -102,10 +102,21 @@ def step(
     t: jnp.ndarray,
     sample: jnp.ndarray,
     num_inference_steps: int,
+    eta: float = 0.0,
+    noise: jnp.ndarray = None,
 ) -> jnp.ndarray:
-    """One deterministic DDIM update (eta=0), epsilon prediction.
+    """One DDIM update, epsilon prediction.
 
-    x_{t_prev} = sqrt(a_prev) * x0_pred + sqrt(1 - a_prev) * eps
+    eta=0 (every shipped reference script) is the deterministic update
+        x_{t_prev} = sqrt(a_prev) * x0_pred + sqrt(1 - a_prev) * eps.
+    eta>0 injects the diffusers DDIMScheduler variance (`_get_variance` +
+    `eta * sqrt(var) * noise`; surfaced by the reference through
+    `prepare_extra_step_kwargs`, IMAGDressing_v1_pipeline.py:102-113):
+        sigma  = eta * sqrt((1-a_prev)/(1-a_t) * (1 - a_t/a_prev))
+        x_prev = sqrt(a_prev) * x0 + sqrt(1 - a_prev - sigma^2) * eps
+                 + sigma * noise.
+    `eta` is a Python float (trace-static): the eta=0 program is identical
+    to the historical deterministic one.
     """
     ac = jnp.asarray(sched.alphas_cumprod)
     prev_t = t - sched.cfg.num_train_timesteps // num_inference_steps
@@ -117,7 +128,17 @@ def step(
     sample32 = sample.astype(jnp.float32)
     eps = model_output.astype(jnp.float32)
     x0 = (sample32 - jnp.sqrt(1.0 - alpha_t) * eps) / jnp.sqrt(alpha_t)
-    prev = jnp.sqrt(alpha_prev) * x0 + jnp.sqrt(1.0 - alpha_prev) * eps
+    if eta:
+        assert noise is not None, "eta > 0 needs per-step noise"
+        var = (1.0 - alpha_prev) / (1.0 - alpha_t) * (1.0 - alpha_t / alpha_prev)
+        sigma = eta * jnp.sqrt(var)
+        prev = (
+            jnp.sqrt(alpha_prev) * x0
+            + jnp.sqrt(1.0 - alpha_prev - sigma**2) * eps
+            + sigma * noise.astype(jnp.float32)
+        )
+    else:
+        prev = jnp.sqrt(alpha_prev) * x0 + jnp.sqrt(1.0 - alpha_prev) * eps
     return prev.astype(sample.dtype)
 
 

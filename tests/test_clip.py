@@ -99,3 +99,22 @@ def test_vision_final_parity(vision_pair):
     pooled = nn_ops.layer_norm(params["post_layernorm"], last[:, 0],
                                eps=cfg.layer_norm_eps)
     np.testing.assert_allclose(np.asarray(pooled), want_pooled, atol=2e-4)
+
+
+def test_text_clip_skip_parity(text_pair):
+    """clip_skip=k == diffusers encode_prompt's hidden_states[-(k+1)] +
+    final_layer_norm (reference IMAGDressing_v1_pipeline.py:185-201)."""
+    model, cfg, params = text_pair
+    rng = np.random.default_rng(3)
+    ids = rng.integers(0, 512, (2, 77)).astype(np.int64)
+    for k in (1, 2):
+        with torch.no_grad():
+            hs = model(
+                torch.from_numpy(ids), output_hidden_states=True
+            ).hidden_states
+            want = model.text_model.final_layer_norm(hs[-(k + 1)]).numpy()
+        got = np.asarray(
+            clip.apply_text(params, cfg, jnp.asarray(ids, jnp.int32),
+                            clip_skip=k)
+        )
+        np.testing.assert_allclose(got, want, atol=2e-4)

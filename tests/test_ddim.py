@@ -87,3 +87,36 @@ def test_min_snr_weights():
     a = sched.alphas_cumprod
     want = np.array([a[0] / (1 - a[0]), a[500] / (1 - a[500]), a[999] / (1 - a[999])])
     np.testing.assert_allclose(np.asarray(snr), want, rtol=1e-4)
+
+
+def test_step_eta_variance_matches_diffusers_formula():
+    """eta>0: sigma = eta*sqrt((1-a_prev)/(1-a_t)*(1-a_t/a_prev)) and the
+    eps direction shrinks to sqrt(1-a_prev-sigma^2) (diffusers
+    DDIMScheduler._get_variance + step); eta=0 is bit-identical to the
+    historical deterministic update."""
+    sched = ddim.make_schedule()
+    rng = np.random.default_rng(0)
+    sample = jnp.asarray(rng.standard_normal((1, 4, 4, 4)).astype(np.float32))
+    eps = jnp.asarray(rng.standard_normal((1, 4, 4, 4)).astype(np.float32))
+    noise = jnp.asarray(rng.standard_normal((1, 4, 4, 4)).astype(np.float32))
+    t, n_steps, eta = 981, 50, 0.7
+
+    got = ddim.step(sched, eps, jnp.asarray(t), sample, n_steps,
+                    eta=eta, noise=noise)
+
+    ac = sched.alphas_cumprod
+    a_t = ac[t]
+    a_prev = ac[t - 1000 // n_steps]
+    x0 = (np.asarray(sample) - np.sqrt(1 - a_t) * np.asarray(eps)) / np.sqrt(a_t)
+    var = (1 - a_prev) / (1 - a_t) * (1 - a_t / a_prev)
+    sigma = eta * np.sqrt(var)
+    want = (
+        np.sqrt(a_prev) * x0
+        + np.sqrt(1 - a_prev - sigma**2) * np.asarray(eps)
+        + sigma * np.asarray(noise)
+    )
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-5, atol=1e-6)
+
+    got0 = ddim.step(sched, eps, jnp.asarray(t), sample, n_steps)
+    want0 = np.sqrt(a_prev) * x0 + np.sqrt(1 - a_prev) * np.asarray(eps)
+    np.testing.assert_allclose(np.asarray(got0), want0, rtol=1e-5, atol=1e-6)
