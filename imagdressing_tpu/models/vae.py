@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from imagdressing_tpu.core.config import VAEConfig
+from imagdressing_tpu.kernels.fused_gn_conv import gn_silu_conv3x3
 import imagdressing_tpu.ops.attention as attn_ops
 from imagdressing_tpu.ops import nn
 
@@ -121,12 +122,13 @@ def init(rng, cfg: VAEConfig) -> Params:
 
 
 def _resnet(p, x, cfg: VAEConfig):
-    h = nn.group_norm(p["norm1"], x, num_groups=cfg.norm_num_groups, eps=cfg.norm_eps)
-    h = nn.silu(h)
-    h = nn.conv2d(p["conv1"], h, padding=1)
-    h = nn.group_norm(p["norm2"], h, num_groups=cfg.norm_num_groups, eps=cfg.norm_eps)
-    h = nn.silu(h)
-    h = nn.conv2d(p["conv2"], h, padding=1)
+    # Fused gn+silu+conv3x3 Pallas pass where the activation fits VMEM (the
+    # latent-resolution decoder/encoder levels); image-resolution levels
+    # fall back to the GN kernel + XLA conv inside the wrapper.
+    h = gn_silu_conv3x3(p["norm1"], p["conv1"], x,
+                        num_groups=cfg.norm_num_groups, eps=cfg.norm_eps)
+    h = gn_silu_conv3x3(p["norm2"], p["conv2"], h,
+                        num_groups=cfg.norm_num_groups, eps=cfg.norm_eps)
     if "conv_shortcut" in p:
         x = nn.conv2d(p["conv_shortcut"], x, padding=0)
     return x + h
