@@ -213,18 +213,54 @@ def main(batch_size: int = 1, steps: int = 2, height: int = 640,
                 # count inside jit_chained is unreliable: XLA reports the
                 # while body once, not xK). Includes remat recompute, so
                 # this is hardware FLOP utilization.
-                ca = step_fn.lower(holder["state"], frozen, batch, key) \
-                    .compile().cost_analysis()
-                if isinstance(ca, (list, tuple)):
-                    ca = ca[0]
-                flops_per_step = float(ca.get("flops", 0.0))
+                #
+                # FLOPs basis: XLA's cost_analysis cannot see inside Pallas
+                # custom calls, so the step is re-lowered with every kernel
+                # switched to its XLA-equivalent math (pallas_disabled +
+                # flash_bwd_xla) purely for counting — identical model
+                # FLOPs, zero custom calls. (r3's number came from the
+                # mixed program, which already hid the flash FLOPs; r4
+                # moved convs into kernels too, making the mixed count
+                # meaninglessly low.) Bytes come from the REAL program —
+                # the fused kernels' reduced traffic is the thing measured.
+                from imagdressing_tpu import kernels as kernels_pkg
+
+                args = (holder["state"], frozen, batch, key)
+                # A FRESH jit object is required inside the context:
+                # `step_fn.lower()` reuses the cached trace from the timed
+                # calls above, and the kernel switches are read at trace
+                # time — lowering the existing jit would silently count the
+                # mixed program again.
+                count_fn = jax.jit(make_train_step(models, cfg, tx),
+                                   donate_argnums=(0,))
+                with kernels_pkg.pallas_disabled(), \
+                        kernels_pkg.flash_bwd_xla():
+                    lowered = count_fn.lower(*args)
+                try:
+                    # client-side analysis of the unoptimized HLO (no
+                    # multi-minute XLA compile of the counting twin); the
+                    # train step has no dead code so flops match
+                    ca_flops = lowered.cost_analysis()
+                except Exception:
+                    ca_flops = None
+                if not ca_flops:  # axon backend returns None: compile instead
+                    ca_flops = lowered.compile().cost_analysis()
+                ca_real = step_fn.lower(*args).compile().cost_analysis()
+                if isinstance(ca_flops, (list, tuple)):
+                    ca_flops = ca_flops[0]
+                if isinstance(ca_real, (list, tuple)):
+                    ca_real = ca_real[0]
+                flops_per_step = float(ca_flops.get("flops", 0.0))
                 if flops_per_step > 0:
                     # v5e bf16 peak 197 TFLOP/s (XLA's flop count treats an
                     # MXU multiply-add as 2 flops, same convention)
                     mfu = flops_per_step / chain_dt / 197e12
-                    hbm_gbps = float(ca.get("bytes accessed", 0.0)) \
+                    hbm_gbps = float(ca_real.get("bytes accessed", 0.0)) \
                         / chain_dt / 1e9
             except Exception:
+                if os.environ.get("BENCH_TRAIN_DEBUG"):
+                    import traceback
+                    traceback.print_exc()
                 mfu = None
 
     out = {

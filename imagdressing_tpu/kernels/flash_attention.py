@@ -37,6 +37,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 
+# Softmax runs in base 2: q is pre-scaled by sm_scale*log2(e) so the VPU
+# evaluates exp2 directly — exp(x) lowers to exp2(x*log2e), so the natural-
+# log form spends an extra (block_q, block_k) multiply per block on what is
+# the kernel's VPU-bound hot loop. The saved LSE residual is therefore in
+# BITS (base-2 units); both backward kernels recompute probabilities as
+# exp2(s2 - lse2), and the XLA fallback never reads it (it recomputes its
+# own natural-log lse).
+_LOG2E = 1.4426950408889634
+
 # Lane width for the saved log-sum-exp residual in HBM. Per-row scalars
 # live lane-replicated (block_q, 128) in VMEM, but storing all 128 lanes
 # to HBM is a 128x-redundant write plus a re-read per (q-block, kv-block)
@@ -64,15 +73,18 @@ def _softmax_block_update(q_ref, k_ref, v_ref, m_scratch, l_scratch,
     q = q_ref[0]  # (bq, D)
     k = k_ref[0]  # (bk, D)
     v = v_ref[0]
+    # fold sm_scale and the base-2 conversion into q: one (bq, D) multiply
+    # replaces a (bq, bk) logits multiply plus the mul inside every exp
+    qs = q * jnp.asarray(sm_scale * _LOG2E, q.dtype)
     s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
+        qs, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32, precision=precision,
-    ) * sm_scale  # (bq, bk) fp32
+    )  # (bq, bk) fp32, base-2 logits
     m_prev = m_scratch[:, :1]  # (bq, 1)
     m_cur = jnp.max(s, axis=-1, keepdims=True)
     m_new = jnp.maximum(m_prev, m_cur)
-    p = jnp.exp(s - m_new)  # (bq, bk) fp32
-    corr = jnp.exp(m_prev - m_new)  # (bq, 1)
+    p = jnp.exp2(s - m_new)  # (bq, bk) fp32
+    corr = jnp.exp2(m_prev - m_new)  # (bq, 1)
     l_new = l_scratch[:, :1] * corr + jnp.sum(p, axis=-1, keepdims=True)
     acc = acc_scratch[...] * corr + jax.lax.dot_general(
         p.astype(q.dtype), v, (((1,), (0,)), ((), ())),
@@ -266,8 +278,8 @@ def _flash_res_kernel(
     _softmax_block_update(q_ref, kv_k_ref, kv_v_ref, m_scratch,
                           l_scratch, acc_scratch, sm_scale)
 
-    def _lse():  # (block_q, 128) lane-replicated log-sum-exp
-        return m_scratch[...] + jnp.log(l_scratch[...])
+    def _lse():  # (block_q, 128) lane-replicated log2-sum-exp2 (base-2 m)
+        return m_scratch[...] + jnp.log2(l_scratch[...])
 
     is_last_of_first_source = (num_sources == 2) and (
         ki == blocks_per_source - 1
@@ -316,7 +328,7 @@ def _flash_call_res(
     interpret: bool = False,
 ):
     """Forward with residuals. Returns (out, lse, o2):
-    out (BH,Sq,D), lse (BH, num_sources, Sq, _LSE_LANES) fp32,
+    out (BH,Sq,D), lse (BH, num_sources, Sq, _LSE_LANES) fp32 BASE-2,
     o2 (BH,Sq,D) or None.
     """
     bh, sq, d = q.shape
@@ -462,11 +474,12 @@ def _bwd_dkv_kernel(
         g32 = g_ref[0].astype(jnp.float32)
         g = (g32 * coeff).astype(q.dtype)  # dO_eff
         di = _bwd_di(g32, o_ref, o2_ref, s_b, is_src2, num_sources)
+        qs = q * jnp.asarray(sm_scale * _LOG2E, q.dtype)
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
+            qs, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision,
-        ) * sm_scale  # (bq, bk) f32
-        p = jnp.exp(s - lse_ref[0, 0][:, :1])
+        )  # (bq, bk) f32, base-2 logits (matches the saved base-2 lse)
+        p = jnp.exp2(s - lse_ref[0, 0][:, :1])
         dv_acc[...] += jax.lax.dot_general(
             p.astype(q.dtype), g, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision,
@@ -538,11 +551,12 @@ def _bwd_dq_kernel(
         g32 = g_ref[0].astype(jnp.float32)
         g = (g32 * coeff).astype(q.dtype)
         di = _bwd_di(g32, o_ref, o2_ref, s_b, is_src2, num_sources)
+        qs = q * jnp.asarray(sm_scale * _LOG2E, q.dtype)
         s = jax.lax.dot_general(
-            q, k, (((1,), (1,)), ((), ())),
+            qs, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision,
-        ) * sm_scale
-        p = jnp.exp(s - lse_ref[0, 0][:, :1])
+        )  # base-2 logits (matches the saved base-2 lse)
+        p = jnp.exp2(s - lse_ref[0, 0][:, :1])
         dp = jax.lax.dot_general(
             g, v, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=precision,
