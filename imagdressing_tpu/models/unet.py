@@ -302,10 +302,13 @@ def _resnet(p: Params, x: jnp.ndarray, temb: jnp.ndarray, cfg: UNetConfig) -> jn
     # (mid-block 10x8 rows, VAE-scale spatial dims) fall back to the
     # fused-GroupNorm + XLA-conv pair inside the wrapper.
     # conv1's output is the only intermediate worth saving under selective
-    # remat ("heavy" policy): with it, the backward recompute contains no
-    # convolution at all (GN2's input rebuilds from it in one cheap fused
-    # pass; conv2's own output is never needed — the residual add's VJP is
-    # identity and the block output is a checkpoint boundary).
+    # remat ("rematsave_conv"): gn_silu_conv3x3's custom_vjp recomputes the
+    # whole XLA GN+conv chain from its *inputs* in the backward regardless
+    # of remat policy, so saving conv1's output means conv2's backward
+    # re-derives its GN stats from a saved tensor instead of re-running
+    # conv1 first (XLA DCEs the recompute's dead final conv dot). The block
+    # output itself is never needed — the residual add's VJP is identity
+    # and the block output is a checkpoint boundary.
     h = checkpoint_name(
         gn_silu_conv3x3(p["norm1"], p["conv1"], x,
                         num_groups=cfg.norm_num_groups, eps=cfg.norm_eps),

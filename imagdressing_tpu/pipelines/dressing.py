@@ -66,15 +66,49 @@ class DressingModels:
 
     @classmethod
     def init_random(cls, rng, *, small: bool = False, with_controlnet: bool = False,
-                    with_ipa: bool = False, nano: bool = False) -> "DressingModels":
+                    with_ipa: bool = False, nano: bool = False,
+                    pico: bool = False) -> "DressingModels":
         """Random-weight stack; `small=True` builds a tiny config for tests.
 
         `nano=True` shrinks further (3-block UNet, 1 layer/block, 1-layer
         encoders) for the multi-chip dryrun, where XLA-CPU compile time on a
         1-core driver host is the budget (VERDICT r3 weak #1) — the sharding
-        paths are identical, only the program is smaller.
+        paths are identical, only the program is smaller. `pico=True` is the
+        smallest legal stack (2-block UNet, 3-level VAE => 4x downscale) for
+        the dryrun's budget-gated tensor-parallel tail stages (r4 next #1).
         """
-        if nano:
+        if pico:
+            unet_cfg = UNetConfig(
+                block_out_channels=(16, 32),
+                # attn in block 0 + mid (TP model-axis coverage); block 1
+                # keeps the no-attn down/up code path exercised
+                down_block_has_attn=(True, False),
+                layers_per_block=1,
+                cross_attention_dim=32,
+                attention_num_heads=4,
+                norm_num_groups=8,
+            )
+            vae_cfg = VAEConfig(
+                block_out_channels=(16, 16, 16), layers_per_block=1,
+                norm_num_groups=8,
+            )
+            text_cfg = CLIPTextConfig(
+                vocab_size=256, hidden_size=32, intermediate_size=64,
+                num_layers=1, num_heads=4,
+            )
+            vision_cfg = CLIPVisionConfig(
+                hidden_size=48, intermediate_size=96, num_layers=1,
+                num_heads=4, image_size=56, patch_size=14, projection_dim=32,
+            )
+            resampler_cfg = ResamplerConfig(
+                dim=32, depth=1, dim_head=8, heads=4, num_queries=8,
+                embedding_dim=48, output_dim=32,
+            )
+            projplus_cfg = ProjPlusConfig(
+                cross_attention_dim=32, id_embeddings_dim=16,
+                clip_embeddings_dim=48, num_tokens=4, depth=1, dim_head=8,
+            )
+        elif nano:
             unet_cfg = UNetConfig(
                 block_out_channels=(16, 32, 32),
                 down_block_has_attn=(True, True, False),
@@ -145,7 +179,15 @@ class DressingModels:
         }
         cn_cfg = None
         if with_controlnet:
-            cn_cfg = ControlNetConfig(unet=unet_cfg)
+            # conditioning embedding must downscale image->latent: one
+            # stride-2 conv per channel-pair, so (len-1) == log2(vae factor)
+            if pico:
+                cn_cfg = ControlNetConfig(
+                    conditioning_embedding_channels=(16, 32, 96),
+                    unet=unet_cfg,
+                )
+            else:
+                cn_cfg = ControlNetConfig(unet=unet_cfg)
             params["controlnet"] = controlnet_lib.init(ks[6], cn_cfg)
         pp_cfg = None
         if with_ipa:
@@ -349,9 +391,12 @@ class DressingPipeline:
             mask_image = _pad(mask_image)
         b, h, w = ref_image.shape[0], p.height, p.width
         if latents is None:
+            # VAE downscale factor: one stride-2 conv per level transition
+            # (8 for SD's 4-level VAE, smaller for test/dryrun stacks)
+            f = 2 ** (len(self.models.vae_cfg.block_out_channels) - 1)
             key = jax.random.PRNGKey(p.seed if seed is None else seed)
             latents = jax.random.normal(
-                key, (b, h // 8, w // 8, 4), jnp.float32
+                key, (b, h // f, w // f, 4), jnp.float32
             )
         eta_val = float(p.eta if eta is None else eta)
         scalars = {

@@ -70,11 +70,16 @@ def _timed_scan(step, x0, k: int) -> float:
 
 
 def bench_conv(b, h, w, cin, cout, dtype=jnp.bfloat16, k=64):
+    """mxu_util_pct is the 3x3 conv's OWN efficiency: channel-changing
+    shapes chain output->input via a channel `tile` (every UNet up-concat
+    shape here is exactly cin == 2*cout), a pure copy orders of magnitude
+    cheaper than the 1x1 projection conv the tool used to blend into the
+    number (ADVICE r4 #4)."""
     key = jax.random.PRNGKey(0)
     x = jax.random.normal(key, (b, h, w, cin), dtype)
     kern = jax.random.normal(key, (3, 3, cin, cout), dtype) * 0.02
-    # chain: conv -> (reshape/project back to input shape via slice+tile)
-    proj = jax.random.normal(key, (1, 1, cout, cin), dtype) * 0.02
+    if cin != cout:
+        assert cin % cout == 0, (cin, cout)
 
     def step(xc):
         y = jax.lax.conv_general_dilated(
@@ -83,17 +88,11 @@ def bench_conv(b, h, w, cin, cout, dtype=jnp.bfloat16, k=64):
             preferred_element_type=dtype,
         )
         if cin != cout:
-            y = jax.lax.conv_general_dilated(
-                y, proj, (1, 1), ((0, 0), (0, 0)),
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                preferred_element_type=dtype,
-            )
+            y = jnp.tile(y, (1, 1, 1, cin // cout))
         return jnp.tanh(y)  # keep values bounded across 2K iterations
 
     sec = _timed_scan(step, x, k)
-    flops = 2 * b * h * w * 9 * cin * cout
-    if cin != cout:
-        flops += 2 * b * h * w * cin * cout  # the chained 1x1 projection
+    flops = 2 * b * h * w * 9 * cin * cout  # the 3x3 conv alone
     mem = (b * h * w * (cin + cout) + 9 * cin * cout) * jnp.dtype(dtype).itemsize
     return {
         "shape": f"({b},{h},{w},{cin})->{cout}",

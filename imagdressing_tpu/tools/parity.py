@@ -45,21 +45,36 @@ def _step(n: int, msg: str) -> None:
 
 def run_dry(out_dir: str) -> None:
     """Synthetic end-to-end: executes every stage of the weights-day flow
-    with the deterministic small random stack (no weights blob needed)."""
+    with the deterministic small random stack (no weights blob needed) for
+    ALL FOUR reference pipelines (VERDICT r4 next #2)."""
     import numpy as np
 
     from imagdressing_tpu.tools import record_reference as rr
 
     os.makedirs(out_dir, exist_ok=True)
-    golden = os.path.join(out_dir, "ref_dryrun.npz")
 
-    _step(1, "record golden (synthetic stack stands in for diffusers)")
-    rr.record_synthetic(golden, seed=42, steps=4)
+    per_preset = {}
+    worst = 0.0
+    n_tensors = 0
+    for i, preset_name in enumerate(("basic", "pose", "ipa_pose", "inpaint")):
+        golden = os.path.join(out_dir, f"ref_dryrun_{preset_name}.npz")
+        _step(1, f"record {preset_name} golden (synthetic stack stands in "
+                 "for diffusers)")
+        rr.record_synthetic(golden, seed=42, steps=4, preset=preset_name)
 
-    _step(2, "replay golden through our stack + fp32-tolerance compare")
-    errors = rr.replay(golden)
-    worst = max(errors.values())
-    print(f"  {len(errors)} tensors compared, worst max-err {worst:.2e}")
+        _step(2, f"replay {preset_name} golden through our stack + "
+                 "fp32-tolerance compare")
+        errors = rr.replay(golden)
+        w = max(errors.values())
+        print(f"  {len(errors)} tensors compared, worst max-err {w:.2e}")
+        per_preset[preset_name] = {
+            "golden": golden,
+            "tensors_compared": sorted(errors),
+            "worst_max_err": w,
+        }
+        worst = max(worst, w)
+        n_tensors += len(errors)
+    golden = per_preset["basic"]["golden"]
 
     _step(3, "render the seed-42 image (basic preset)")
     import dataclasses
@@ -99,8 +114,8 @@ def run_dry(out_dir: str) -> None:
 
     report = {
         "mode": "dry-run",
-        "golden": golden,
-        "tensors_compared": sorted(errors),
+        "presets": per_preset,
+        "tensors_compared_total": n_tensors,
         "worst_max_err": worst,
         "image": img_path,
         "ok": True,
@@ -111,24 +126,37 @@ def run_dry(out_dir: str) -> None:
     _step(4, f"PARITY DRY-RUN OK -> {rp}")
 
 
+def _golden_path(template: str, preset: str) -> str:
+    return (template if preset == "basic"
+            else template.replace(".npz", f"_{preset}.npz"))
+
+
 def run_real(args) -> None:
-    """The weights-day flow. Each stage prints exactly what is missing when
-    its prerequisite is absent, so the runbook is self-guiding."""
+    """The weights-day flow, per preset (all four reference pipelines by
+    default). Each stage prints exactly what is missing when its
+    prerequisite is absent, so the runbook is self-guiding."""
     from imagdressing_tpu.tools import record_reference as rr
 
-    golden = args.golden
-    if not os.path.exists(golden):
-        _step(1, "golden missing — record it in a diffusers environment:")
-        print(
-            "  python -m imagdressing_tpu.tools.record_reference record \\\n"
-            f"      --base_dir {args.base_dir} --vae_path {args.vae_path} \\\n"
-            f"      --image_encoder_path {args.image_encoder_path} \\\n"
-            f"      --seed {args.seed} --steps {args.steps} "
-            f"--out {golden}\n"
-            "  then re-run this command.",
-        )
+    presets = [s.strip() for s in args.presets.split(",") if s.strip()]
+    goldens = {pr: _golden_path(args.golden, pr) for pr in presets}
+    missing = {pr: g for pr, g in goldens.items() if not os.path.exists(g)}
+    if missing:
+        _step(1, "goldens missing — record them in a diffusers environment:")
+        for pr, g in missing.items():
+            print(
+                "  python -m imagdressing_tpu.tools.record_reference record"
+                " \\\n"
+                f"      --preset {pr} \\\n"
+                f"      --base_dir {args.base_dir} --vae_path"
+                f" {args.vae_path} \\\n"
+                f"      --image_encoder_path {args.image_encoder_path} \\\n"
+                f"      --controlnet_path {args.controlnet_path} \\\n"
+                f"      --seed {args.seed} --steps {args.steps} "
+                f"--out {g}",
+            )
+        print("  then re-run this command.")
         sys.exit(2)
-    _step(1, f"golden present: {golden}")
+    _step(1, f"goldens present: {', '.join(goldens.values())}")
 
     for path in (args.base_dir, args.vae_path, args.image_encoder_path):
         if not os.path.exists(path):
@@ -136,7 +164,7 @@ def run_real(args) -> None:
                   "ckpt/ layout)")
             sys.exit(2)
 
-    _step(2, "write the torch weights manifest beside the golden")
+    _step(2, "write the torch weights manifest beside each golden")
     manifest = {
         "kind": "torch",
         "base_dir": args.base_dir,
@@ -144,14 +172,20 @@ def run_real(args) -> None:
         "image_encoder_path": args.image_encoder_path,
         "model_ckpt": args.model_ckpt,
     }
-    mpath = rr.manifest_path_for(golden)
-    with open(mpath, "w", encoding="utf-8") as f:
-        json.dump(manifest, f, indent=2)
+    for g in goldens.values():
+        with open(rr.manifest_path_for(g), "w", encoding="utf-8") as f:
+            json.dump(manifest, f, indent=2)
+    mpath = rr.manifest_path_for(goldens[presets[0]])
 
-    _step(3, "replay golden through the converted weights (fp32 parity)")
-    errors = rr.replay(golden)
+    _step(3, "replay goldens through the converted weights (fp32 parity)")
+    errors = {}
+    for pr, g in goldens.items():
+        e = rr.replay(g)
+        print(f"  [{pr}] {len(e)} tensors compared, worst max-err "
+              f"{max(e.values()):.2e}")
+        errors.update({f"{pr}::{k}": v for k, v in e.items()})
     worst = max(errors.values())
-    print(f"  {len(errors)} tensors compared, worst max-err {worst:.2e}")
+    golden = goldens[presets[0]]
 
     _step(4, "the pytest gate is now armed — run it")
     print("  python -m pytest tests/test_goldens.py -q")
@@ -190,7 +224,13 @@ def main(argv=None):
                         "(works in this weights-less image)")
     p.add_argument("--out_dir", default="parity_out",
                    help="dry-run artifact directory")
-    p.add_argument("--golden", default="tests/goldens/ref_base.npz")
+    p.add_argument("--golden", default="tests/goldens/ref_base.npz",
+                   help="basic-preset golden path; other presets use "
+                        "<stem>_<preset>.npz beside it")
+    p.add_argument("--presets", default="basic,pose,ipa_pose,inpaint",
+                   help="comma list of reference pipelines to verify")
+    p.add_argument("--controlnet_path",
+                   default="ckpt/control_v11p_sd15_openpose")
     p.add_argument("--base_dir", default="ckpt/Realistic_Vision_V4.0_noVAE")
     p.add_argument("--vae_path", default="ckpt/sd-vae-ft-mse")
     p.add_argument("--image_encoder_path", default="ckpt/image_encoder")

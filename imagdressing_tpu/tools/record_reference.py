@@ -36,6 +36,33 @@ RECORD_SPEC = {
     "final_latents": "latents after the full DDIM loop",
 }
 
+# Per-preset extra surfaces (VERDICT r4 missing #1: the basic spec alone
+# leaves three of the four reference pipelines unverified on weights day).
+PRESET_EXTRA_SPEC = {
+    "basic": {},
+    "pose": {
+        "cn_down_res_step0::<i>": "ControlNet down-block residuals at the "
+        "first step, cond half, conditioning_scale=1 "
+        "(IMAGDressing_v1_pipeline_controlnet.py:586-626)",
+        "cn_mid_res_step0": "ControlNet mid residual at the first step",
+    },
+    "ipa_pose": {
+        "cn_down_res_step0::<i>": "as pose",
+        "cn_mid_res_step0": "as pose",
+        "face_clip_penult": "image_encoder(face_pixels).hidden_states[-2]",
+        "face_tokens": "ProjPlusModel(faceid_embeds, face_clip_penult, "
+        "shortcut=True) (IMAGDressing_v1_pipeline_ipa_controlnet.py:513-557, "
+        "adapter/resampler.py:250)",
+    },
+    "inpaint": {
+        "image_latents_nhwc": "vae.encode(person).latent_dist.mean * sf "
+        "(IMAGDressing_v1_pipeline_controlnet_inpainting.py:350-362)",
+        "mask_latent_nhwc": "nearest-resized inpaint mask at latent res",
+        "recomposed_latents_step0_nhwc": "latents after DDIM step 0 + the "
+        "timesteps[1] re-noise/paste recomposition (:487-500)",
+    },
+}
+
 
 def compare(golden_path: str, computed: Dict[str, np.ndarray],
             *, atol: float = 5e-3, rtol: float = 1e-3) -> Dict[str, float]:
@@ -45,17 +72,22 @@ def compare(golden_path: str, computed: Dict[str, np.ndarray],
     errors = {}
     failures = []
     # a narrow golden must not read as full parity: call out every
-    # RECORD_SPEC surface the file does not cover
-    for spec in RECORD_SPEC:
+    # RECORD_SPEC surface (incl. the golden's preset extras) it lacks
+    preset = str(golden["preset"]) if "preset" in golden.files else "basic"
+    spec_all = dict(RECORD_SPEC)
+    spec_all.update(PRESET_EXTRA_SPEC.get(preset, {}))
+    for spec in spec_all:
         prefix = spec.split("::")[0]
         if not any(g == spec or g.startswith(prefix) for g in golden.files):
             print(f"WARNING: golden lacks RECORD_SPEC surface {spec!r} — "
                   "parity is NOT checked for it", flush=True)
     for name in golden.files:
+        want = golden[name]
+        if want.dtype.kind in "US":  # metadata strings (e.g. "preset")
+            continue
         if name not in computed:
             failures.append(f"{name}: not computed")
             continue
-        want = golden[name]
         got = np.asarray(computed[name], np.float32)
         if got.shape != want.shape:
             failures.append(f"{name}: shape {got.shape} vs {want.shape}")
@@ -115,6 +147,7 @@ def record(args) -> None:
         "clip_pixels_nhwc": clip_pixels.permute(0, 2, 3, 1).numpy(),
         "init_latents_nhwc": latents.permute(0, 2, 3, 1).numpy(),
         "steps": np.int32(args.steps),  # replay() re-derives the schedule
+        "preset": np.str_(args.preset),
     }
     with torch.no_grad():
         out["text_embeds"] = text_encoder(prompt_ids)[0].numpy()
@@ -135,6 +168,86 @@ def record(args) -> None:
             latents, t0, encoder_hidden_states=text_embeds
         ).sample
         out["eps_step0_nhwc"] = eps.permute(0, 2, 3, 1).numpy()
+        # ---- preset extra surfaces (PRESET_EXTRA_SPEC) ----------------
+        if args.preset in ("pose", "ipa_pose"):
+            from diffusers import ControlNetModel
+
+            cn = ControlNetModel.from_pretrained(
+                args.controlnet_path, torch_dtype=dtype
+            ).eval()
+            pose = torch.rand(1, 3, args.size, args.size, generator=g)
+            out["pose_cond_nhwc"] = pose.permute(0, 2, 3, 1).numpy()
+            down, mid = cn(
+                latents, t0, encoder_hidden_states=text_embeds,
+                controlnet_cond=pose, conditioning_scale=1.0,
+                return_dict=False,
+            )
+            for i, r in enumerate(down):
+                out[f"cn_down_res_step0::{i:02d}"] = (
+                    r.permute(0, 2, 3, 1).numpy())
+            out["cn_mid_res_step0"] = mid.permute(0, 2, 3, 1).numpy()
+        if args.preset == "ipa_pose":
+            faceid = torch.randn(1, 512, generator=g)
+            face_pixels = torch.randn(1, 3, 224, 224, generator=g)
+            out["faceid_embeds"] = faceid.numpy()
+            out["face_clip_pixels_nhwc"] = (
+                face_pixels.permute(0, 2, 3, 1).numpy())
+            face_hidden = image_encoder(
+                face_pixels, output_hidden_states=True
+            ).hidden_states[-2]
+            out["face_clip_penult"] = face_hidden.numpy()
+            try:
+                # reference repo on sys.path (run next to /root/reference)
+                from adapter.resampler import ProjPlusModel
+
+                proj = ProjPlusModel(
+                    cross_attention_dim=unet.config.cross_attention_dim,
+                    id_embeddings_dim=512,
+                    clip_embeddings_dim=image_encoder.config.hidden_size,
+                    num_tokens=4,
+                ).eval()
+                if args.ipa_ckpt:
+                    sd = torch.load(args.ipa_ckpt, map_location="cpu")
+                    proj.load_state_dict(sd["image_proj"])
+                out["face_tokens"] = proj(
+                    faceid, face_hidden, shortcut=True, scale=1.0
+                ).numpy()
+            except ImportError:
+                print(
+                    "WARNING: reference adapter/ not importable — "
+                    "face_tokens not recorded (run with the reference repo "
+                    "root on sys.path); compare() will flag the gap"
+                )
+        if args.preset == "inpaint":
+            import torch.nn.functional as F
+
+            person = torch.randn(
+                1, 3, args.size, args.size, generator=g).clamp(-1, 1)
+            mask = (torch.rand(1, 1, args.size, args.size,
+                               generator=g) > 0.5).to(dtype)
+            out["person_image_nhwc"] = person.permute(0, 2, 3, 1).numpy()
+            out["mask_image_nhwc"] = mask.permute(0, 2, 3, 1).numpy()
+            image_latents = (
+                vae.encode(person).latent_dist.mean
+                * vae.config.scaling_factor
+            )
+            out["image_latents_nhwc"] = (
+                image_latents.permute(0, 2, 3, 1).numpy())
+            mask_latent = F.interpolate(
+                mask, size=(args.size // 8, args.size // 8), mode="nearest"
+            )
+            out["mask_latent_nhwc"] = mask_latent.permute(0, 2, 3, 1).numpy()
+            eps0 = unet(latents, t0, encoder_hidden_states=text_embeds).sample
+            lat1 = sched.step(eps0, t0, latents).prev_sample
+            # strength=1.0: init latents ARE the noise; re-noise to
+            # timesteps[1] and paste (reference ..._inpainting.py:487-500)
+            init_proper = sched.add_noise(
+                image_latents, latents, sched.timesteps[1:2]
+            )
+            recomposed = (1 - mask_latent) * init_proper + mask_latent * lat1
+            out["recomposed_latents_step0_nhwc"] = (
+                recomposed.permute(0, 2, 3, 1).numpy())
+
         # full DDIM loop on the base UNet -> final_latents (the adapter
         # surfaces — cloth_tokens, sa_hidden caches — additionally need the
         # reference repo's adapter modules + a converted IMAGDressing
@@ -158,7 +271,9 @@ def record(args) -> None:
 # ---------------------------------------------------------------------------
 
 _INPUT_KEYS = ("prompt_ids", "ref_image_nhwc", "clip_pixels_nhwc",
-               "init_latents_nhwc", "steps")
+               "init_latents_nhwc", "steps", "preset", "pose_cond_nhwc",
+               "faceid_embeds", "face_clip_pixels_nhwc", "person_image_nhwc",
+               "mask_image_nhwc")
 
 
 def manifest_path_for(golden_path: str) -> str:
@@ -180,7 +295,9 @@ def build_models_from_manifest(manifest: Dict):
         from imagdressing_tpu.pipelines.dressing import DressingModels
 
         return DressingModels.init_random(
-            jax.random.PRNGKey(int(manifest.get("seed", 0))), small=True
+            jax.random.PRNGKey(int(manifest.get("seed", 0))), small=True,
+            with_controlnet=bool(manifest.get("with_controlnet", False)),
+            with_ipa=bool(manifest.get("with_ipa", False)),
         )
     if kind == "torch":
         import jax.numpy as jnp
@@ -201,10 +318,12 @@ def compute_with_stack(golden: Dict[str, np.ndarray], models
                        ) -> Dict[str, np.ndarray]:
     """Replay the golden's recorded inputs through our stack, producing every
     RECORD_SPEC tensor the golden carries (same keys, NHWC layouts)."""
+    import jax
     import jax.numpy as jnp
 
     from imagdressing_tpu.core.config import SchedulerConfig
     from imagdressing_tpu.models import clip, resampler as resampler_lib
+    from imagdressing_tpu.models import controlnet as controlnet_mod
     from imagdressing_tpu.models import unet as unet_lib, vae as vae_lib
     from imagdressing_tpu.samplers import ddim
 
@@ -248,9 +367,71 @@ def compute_with_stack(golden: Dict[str, np.ndarray], models
         for name, hidden in captured.items():
             computed[f"sa_hidden::{name}"] = np.asarray(hidden, np.float32)
 
+    # ---- ControlNet residual taps at the first step (pose/ipa_pose) -------
+    sched = ddim.make_schedule(SchedulerConfig())
+    if any(k.startswith("cn_down_res_step0::") for k in golden):
+        steps = int(golden["steps"])
+        ts = ddim.timesteps(sched, steps)
+        lat0 = jnp.asarray(golden["init_latents_nhwc"], jnp.float32)
+        b = lat0.shape[0]
+        down_res, mid_res = controlnet_mod.apply(
+            p["controlnet"], models.controlnet_cfg, lat0,
+            jnp.broadcast_to(jnp.asarray(ts[0]), (b,)), text_embeds,
+            cond_image=jnp.asarray(golden["pose_cond_nhwc"], jnp.float32),
+            conditioning_scale=1.0,
+        )
+        for i, r in enumerate(down_res):
+            computed[f"cn_down_res_step0::{i:02d}"] = np.asarray(
+                r, np.float32)
+        computed["cn_mid_res_step0"] = np.asarray(mid_res, np.float32)
+
+    # ---- ProjPlus face tokens (ipa_pose) -----------------------------------
+    if "face_tokens" in golden:
+        face_hidden = clip.apply_vision(
+            p["vision"], models.vision_cfg,
+            jnp.asarray(golden["face_clip_pixels_nhwc"]), penultimate=True,
+        )
+        computed["face_clip_penult"] = np.asarray(face_hidden, np.float32)
+        face_tokens = resampler_lib.apply_proj_plus(
+            p["proj_plus"], models.projplus_cfg,
+            jnp.asarray(golden["faceid_embeds"], jnp.float32), face_hidden,
+            shortcut=True, scale=1.0,
+        )
+        computed["face_tokens"] = np.asarray(face_tokens, np.float32)
+
+    # ---- Inpaint mask / masked latents + step-0 recomposition --------------
+    if "recomposed_latents_step0_nhwc" in golden:
+        steps = int(golden["steps"])
+        ts = ddim.timesteps(sched, steps)
+        lat0 = jnp.asarray(golden["init_latents_nhwc"], jnp.float32)
+        b = lat0.shape[0]
+        image_latents = vae_lib.encode_mean(
+            p["vae"], models.vae_cfg,
+            jnp.asarray(golden["person_image_nhwc"], jnp.float32),
+        ) * models.vae_cfg.scaling_factor
+        computed["image_latents_nhwc"] = np.asarray(image_latents,
+                                                    np.float32)
+        lh, lw = lat0.shape[1:3]
+        mask_latent = jax.image.resize(
+            jnp.asarray(golden["mask_image_nhwc"], jnp.float32),
+            (b, lh, lw, 1), "nearest",
+        )
+        computed["mask_latent_nhwc"] = np.asarray(mask_latent, np.float32)
+        eps0 = unet_lib.apply(
+            p["unet"], models.unet_cfg, lat0,
+            jnp.broadcast_to(jnp.asarray(ts[0]), (b,)), text_embeds,
+        ).astype(jnp.float32)
+        lat1 = ddim.step(sched, eps0, jnp.asarray(ts[0]), lat0, steps)
+        # strength=1.0 schedule: init latents ARE the noise; re-noise the
+        # known region to timesteps[1] and paste (pipeline post_fn)
+        init_proper = ddim.add_noise(sched, image_latents, lat0,
+                                     jnp.asarray(ts[1]))
+        recomposed = (1.0 - mask_latent) * init_proper + mask_latent * lat1
+        computed["recomposed_latents_step0_nhwc"] = np.asarray(
+            recomposed, np.float32)
+
     if "eps_step0_nhwc" in golden or "final_latents_nhwc" in golden:
         steps = int(golden["steps"])
-        sched = ddim.make_schedule(SchedulerConfig())
         ts = ddim.timesteps(sched, steps)
         lat0 = jnp.asarray(golden["init_latents_nhwc"], jnp.float32)
         b = lat0.shape[0]
@@ -295,14 +476,24 @@ def replay(golden_path: str, models=None, *, atol: float = 5e-3,
     return compare(golden_path, computed, atol=atol, rtol=rtol)
 
 
-def record_synthetic(out_path: str, *, seed: int = 0, steps: int = 4) -> None:
+def record_synthetic(out_path: str, *, seed: int = 0, steps: int = 4,
+                     preset: str = "basic") -> None:
     """Record a full-surface golden with our OWN small random stack (no
     diffusers needed — this build image has none). The artifact exercises the
     identical replay gate a real reference golden flows through, keeping the
-    parity harness armed until real weights can be provisioned."""
-    models = build_models_from_manifest(
-        {"kind": "synthetic_small", "seed": seed}
-    )
+    parity harness armed until real weights can be provisioned. `preset`
+    additionally records that pipeline's extra surfaces (PRESET_EXTRA_SPEC),
+    so all four reference pipelines replay in CI today."""
+    if preset not in PRESET_EXTRA_SPEC:
+        raise ValueError(
+            f"unknown preset {preset!r}; expected {sorted(PRESET_EXTRA_SPEC)}"
+        )
+    manifest = {
+        "kind": "synthetic_small", "seed": seed,
+        "with_controlnet": preset in ("pose", "ipa_pose", "inpaint"),
+        "with_ipa": preset == "ipa_pose",
+    }
+    models = build_models_from_manifest(manifest)
     rng = np.random.default_rng(seed)
     h = w = 64
     vs = models.vision_cfg.image_size
@@ -319,6 +510,7 @@ def record_synthetic(out_path: str, *, seed: int = 0, steps: int = 4) -> None:
         "init_latents_nhwc": rng.standard_normal((1, h // 8, w // 8, 4))
         .astype(np.float32),
         "steps": np.int32(steps),
+        "preset": np.str_(preset),
     }
     # want-keys: compute everything, then save inputs + outputs as the golden
     want_all = dict(golden_inputs)
@@ -326,12 +518,32 @@ def record_synthetic(out_path: str, *, seed: int = 0, steps: int = 4) -> None:
     want_all["final_latents_nhwc"] = None
     want_all["cloth_tokens"] = None
     want_all["sa_hidden::_probe"] = None  # triggers the capture pass
+    if preset in ("pose", "ipa_pose"):
+        golden_inputs["pose_cond_nhwc"] = rng.random(
+            (1, h, w, 3)).astype(np.float32)
+        want_all["pose_cond_nhwc"] = golden_inputs["pose_cond_nhwc"]
+        want_all["cn_down_res_step0::_probe"] = None
+    if preset == "ipa_pose":
+        golden_inputs["faceid_embeds"] = rng.standard_normal(
+            (1, models.projplus_cfg.id_embeddings_dim)).astype(np.float32)
+        golden_inputs["face_clip_pixels_nhwc"] = rng.standard_normal(
+            (1, vs, vs, 3)).astype(np.float32)
+        want_all.update(golden_inputs)
+        want_all["face_tokens"] = None
+    if preset == "inpaint":
+        golden_inputs["person_image_nhwc"] = rng.standard_normal(
+            (1, h, w, 3)).astype(np.float32).clip(-1, 1)
+        golden_inputs["mask_image_nhwc"] = (
+            rng.random((1, h, w, 1)) > 0.5).astype(np.float32)
+        want_all.update(golden_inputs)
+        want_all["recomposed_latents_step0_nhwc"] = None
     computed = compute_with_stack(want_all, models)
+    computed["preset"] = np.str_(preset)
     np.savez_compressed(out_path, **computed)
     mpath = manifest_path_for(out_path)
     with open(mpath, "w", encoding="utf-8") as f:
-        json.dump({"kind": "synthetic_small", "seed": seed}, f)
-    print("recorded synthetic golden", out_path, "+", mpath)
+        json.dump(manifest, f)
+    print(f"recorded synthetic golden ({preset})", out_path, "+", mpath)
 
 
 def main(argv=None):
@@ -342,6 +554,16 @@ def main(argv=None):
     pr.add_argument("--base_dir", default="ckpt/Realistic_Vision_V4.0_noVAE")
     pr.add_argument("--vae_path", default="ckpt/sd-vae-ft-mse")
     pr.add_argument("--image_encoder_path", default="ckpt/image_encoder")
+    pr.add_argument("--preset", default="basic",
+                    choices=sorted(PRESET_EXTRA_SPEC),
+                    help="which reference pipeline's extra surfaces to "
+                         "record (PRESET_EXTRA_SPEC)")
+    pr.add_argument("--controlnet_path",
+                    default="ckpt/control_v11p_sd15_openpose",
+                    help="diffusers ControlNet dir (pose/ipa_pose presets)")
+    pr.add_argument("--ipa_ckpt", default=None,
+                    help="IP-Adapter-FaceID-Plus .bin for ProjPlus weights "
+                         "(ipa_pose preset; random-init if absent)")
     pr.add_argument("--prompt", default="A beautiful woman")
     pr.add_argument("--size", type=int, default=512)
     pr.add_argument("--steps", type=int, default=30)
@@ -364,6 +586,8 @@ def main(argv=None):
     ps.add_argument("--out", default="tests/goldens/ref_synthetic_tiny.npz")
     ps.add_argument("--seed", type=int, default=0)
     ps.add_argument("--steps", type=int, default=4)
+    ps.add_argument("--preset", default="basic",
+                    choices=sorted(PRESET_EXTRA_SPEC))
     args = p.parse_args(argv)
     if args.cmd == "spec":
         print(json.dumps(RECORD_SPEC, indent=2))
@@ -375,7 +599,8 @@ def main(argv=None):
                          indent=2))
         print("PARITY OK")
     elif args.cmd == "record-synthetic":
-        record_synthetic(args.out, seed=args.seed, steps=args.steps)
+        record_synthetic(args.out, seed=args.seed, steps=args.steps,
+                         preset=args.preset)
     else:
         computed = dict(np.load(args.computed))
         errors = compare(args.golden, computed)

@@ -5,8 +5,10 @@ The reference wires `--report_to tensorboard/wandb` through accelerate
 append-only jsonl any dashboard can tail, and `--report_to tensorboard`
 additionally writes a real TensorBoard event file — encoded by hand
 (TFRecord framing + Event/Summary protobuf wire format + masked CRC32C), so
-no tensorflow/tensorboardX dependency enters the image. `wandb` has no
-offline seat in this zero-egress environment and raises with that message.
+no tensorflow/tensorboardX dependency enters the image. `wandb`/`comet` are
+thin adapters over their packages when installed (offline mode by default);
+without the package they raise pointing at PARITY.md's "tracker sinks"
+decision — tensorboard+jsonl are the supported sinks of this image.
 """
 
 from __future__ import annotations
@@ -178,9 +180,65 @@ class MultiTracker:
             t.close()
 
 
+class WandbTracker:
+    """Thin adapter over the `wandb` package (reference train.py:146-155).
+
+    Runs in offline mode unless WANDB_MODE overrides it, so it works on
+    air-gapped TPU hosts and the run syncs later with `wandb sync`.
+    Raises ImportError when wandb isn't installed — `make_tracker` turns
+    that into the documented PARITY.md pointer.
+    """
+
+    def __init__(self, output_dir: str, project: str = "imagdressing_tpu"):
+        import wandb  # not in this image; available on user machines
+
+        os.makedirs(output_dir, exist_ok=True)
+        self._run = wandb.init(
+            project=project,
+            dir=output_dir,
+            mode=os.environ.get("WANDB_MODE", "offline"),
+        )
+
+    def log(self, step: int, metrics: Dict[str, float]) -> None:
+        scalars = {
+            k: float(v) for k, v in metrics.items()
+            if isinstance(v, (int, float)) and k != "step"
+        }
+        self._run.log(scalars, step=step)
+
+    def close(self) -> None:
+        self._run.finish()
+
+
+class CometTracker:
+    """Thin adapter over `comet_ml` (OfflineExperiment; sync with
+    `comet upload`). Same contract as WandbTracker."""
+
+    def __init__(self, output_dir: str, project: str = "imagdressing_tpu"):
+        import comet_ml  # not in this image; available on user machines
+
+        os.makedirs(output_dir, exist_ok=True)
+        self._exp = comet_ml.OfflineExperiment(
+            project_name=project, offline_directory=output_dir,
+        )
+
+    def log(self, step: int, metrics: Dict[str, float]) -> None:
+        scalars = {
+            k: float(v) for k, v in metrics.items()
+            if isinstance(v, (int, float)) and k != "step"
+        }
+        self._exp.log_metrics(scalars, step=step)
+
+    def close(self) -> None:
+        self._exp.end()
+
+
 def make_tracker(report_to: str, output_dir: str):
     """reference --report_to seat (train.py:146-155): 'jsonl' (default),
-    'tensorboard', or 'all' (both). 'wandb' needs egress this image lacks."""
+    'tensorboard', 'all' (both), plus 'wandb'/'comet' when their packages
+    are installed (offline-mode adapters). This image ships neither —
+    PARITY.md ("tracker sinks") records tensorboard+jsonl as the supported
+    sinks here, and the error message points there."""
     jsonl = JsonlTracker(os.path.join(output_dir, "metrics.jsonl"))
     if report_to == "jsonl":
         return jsonl
@@ -192,9 +250,16 @@ def make_tracker(report_to: str, output_dir: str):
         return MultiTracker(
             [jsonl, TensorBoardTracker(os.path.join(output_dir, "logs"))]
         )
-    if report_to == "wandb":
-        raise ValueError(
-            "wandb needs network egress this environment lacks; use "
-            "--report_to tensorboard (offline event files) or jsonl"
-        )
+    if report_to in ("wandb", "comet"):
+        cls = WandbTracker if report_to == "wandb" else CometTracker
+        try:
+            return MultiTracker([jsonl, cls(output_dir)])
+        except ImportError as e:
+            raise ValueError(
+                f"--report_to {report_to} needs the {report_to} package, "
+                "which this zero-egress image does not ship; tensorboard + "
+                "jsonl are the supported sinks here (see PARITY.md, "
+                "'tracker sinks'). On a machine with the package installed "
+                "this flag works offline and syncs later."
+            ) from e
     raise ValueError(f"unknown --report_to {report_to!r}")

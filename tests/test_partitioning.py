@@ -123,6 +123,55 @@ def test_groupnorm_partitions_under_pjit(mesh8, with_add, monkeypatch):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
 
 
+@pytest.mark.parametrize("with_add", [False, True])
+def test_gn_conv_partitions_under_pjit(mesh8, with_add, monkeypatch):
+    """Fused GN+SiLU+conv3x3 forward sharded over batch matches the single
+    device path and preserves the batch sharding (ADVICE r4 #1)."""
+    import imagdressing_tpu.kernels.fused_gn_conv as fgc
+
+    monkeypatch.setattr(fg, "_use_pallas", lambda: True)
+    rng = np.random.default_rng(4)
+    B, Hh, W, C, Co = 8, 16, 16, 128, 128
+    x = jnp.asarray(rng.standard_normal((B, Hh, W, C)).astype(np.float32))
+    gw = jnp.asarray(rng.standard_normal((C,)).astype(np.float32))
+    gb = jnp.asarray(rng.standard_normal((C,)).astype(np.float32))
+    w = jnp.asarray(
+        (rng.standard_normal((3, 3, C, Co)) * 0.05).astype(np.float32))
+    cb = jnp.asarray(rng.standard_normal((Co,)).astype(np.float32))
+    add = (
+        jnp.asarray(rng.standard_normal((B, C)).astype(np.float32))
+        if with_add else None
+    )
+    assert fgc._supported(x, w, 32)
+
+    want = fgc._xla_reference(x, gw, gb, add, w, cb, num_groups=32,
+                              eps=1e-5, act="silu")
+
+    xs = NamedSharding(mesh8, P("data", None, None, None))
+    cs = NamedSharding(mesh8, P(None))
+    ws = NamedSharding(mesh8, P(None, None, None, None))
+    if with_add:
+        f = jax.jit(
+            lambda x, gw, gb, add, w, cb: fgc.fused_gn_silu_conv(
+                x, gw, gb, add, w, cb, 32, 1e-5, "silu"),
+            in_shardings=(xs, cs, cs,
+                          NamedSharding(mesh8, P("data", None)), ws, cs),
+        )
+        got = f(x, gw, gb, add, w, cb)
+        txt = f.lower(x, gw, gb, add, w, cb).compile().as_text()
+    else:
+        f = jax.jit(
+            lambda x, gw, gb, w, cb: fgc.fused_gn_silu_conv(
+                x, gw, gb, None, w, cb, 32, 1e-5, "silu"),
+            in_shardings=(xs, cs, cs, ws, cs),
+        )
+        got = f(x, gw, gb, w, cb)
+        txt = f.lower(x, gw, gb, w, cb).compile().as_text()
+    assert got.sharding.is_equivalent_to(xs, got.ndim)
+    assert "num_partitions=8" in txt
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
 def test_tp_pipeline_keeps_partitioned_kernels(monkeypatch):
     """End to end: the tensor-parallel pipeline traces with the kernel
     dispatchers LIVE (no pallas_disabled), routes attention through the

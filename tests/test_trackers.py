@@ -138,6 +138,74 @@ def test_make_tracker_jsonl_and_tensorboard(tmp_path):
     assert len(events) == 1
 
 
-def test_make_tracker_wandb_raises(tmp_path):
-    with pytest.raises(ValueError, match="egress"):
+def test_make_tracker_wandb_raises_pointing_at_parity(tmp_path):
+    """Without the package the error must point at the PARITY.md decision
+    (VERDICT r4 missing #3)."""
+    with pytest.raises(ValueError, match="PARITY.md"):
         trackers.make_tracker("wandb", str(tmp_path))
+    with pytest.raises(ValueError, match="PARITY.md"):
+        trackers.make_tracker("comet", str(tmp_path))
+
+
+def test_wandb_adapter_uses_offline_mode(tmp_path, monkeypatch):
+    """With the package importable, --report_to wandb returns a working
+    offline adapter (thin wrapper over wandb.init/log/finish)."""
+    import sys
+    import types
+
+    calls = {"log": [], "finish": 0}
+
+    class FakeRun:
+        def log(self, scalars, step=None):
+            calls["log"].append((step, scalars))
+
+        def finish(self):
+            calls["finish"] += 1
+
+    fake = types.ModuleType("wandb")
+
+    def init(project=None, dir=None, mode=None):
+        calls["init"] = {"project": project, "dir": dir, "mode": mode}
+        return FakeRun()
+
+    fake.init = init
+    monkeypatch.setitem(sys.modules, "wandb", fake)
+    monkeypatch.delenv("WANDB_MODE", raising=False)
+
+    t = trackers.make_tracker("wandb", str(tmp_path))
+    t.log(7, {"loss": 0.5, "note": "skip-me", "step": 7})
+    t.close()
+    assert calls["init"]["mode"] == "offline"
+    assert calls["log"] == [(7, {"loss": 0.5})]
+    assert calls["finish"] == 1
+    # the jsonl sink still runs alongside
+    assert (tmp_path / "metrics.jsonl").exists()
+
+
+def test_comet_adapter_offline(tmp_path, monkeypatch):
+    import sys
+    import types
+
+    calls = {"metrics": [], "end": 0}
+
+    class FakeExp:
+        def __init__(self, project_name=None, offline_directory=None):
+            calls["ctor"] = {"project_name": project_name,
+                             "offline_directory": offline_directory}
+
+        def log_metrics(self, scalars, step=None):
+            calls["metrics"].append((step, scalars))
+
+        def end(self):
+            calls["end"] += 1
+
+    fake = types.ModuleType("comet_ml")
+    fake.OfflineExperiment = FakeExp
+    monkeypatch.setitem(sys.modules, "comet_ml", fake)
+
+    t = trackers.make_tracker("comet", str(tmp_path))
+    t.log(2, {"lr": 1e-4})
+    t.close()
+    assert calls["ctor"]["offline_directory"] == str(tmp_path)
+    assert calls["metrics"] == [(2, {"lr": 0.0001})]
+    assert calls["end"] == 1
