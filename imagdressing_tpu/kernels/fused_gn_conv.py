@@ -269,6 +269,237 @@ def _fused_call(x, gw, gb, add, w, cb, *, num_groups, eps, act, interpret):
     )(*args)
 
 
+# ---------------------------------------------------------------------------
+# Row-windowed variant for activations too large to sit in VMEM (the VAE
+# encoder/decoder's pixel-resolution levels, VERDICT r4 next #4). GroupNorm
+# statistics are computed in XLA (a fused fp32 reduction over the producer's
+# output — one HBM read, often fused into the producer's epilogue); the
+# Pallas kernel then streams H-windows of x from HBM via manual DMA with a
+# one-row halo on each side, normalizes into a zero-bordered VMEM scratch,
+# and runs the same nine-tap implicit-GEMM conv. Total traffic: ~2 reads of
+# x + 1 write of y, vs 3 reads + 2 writes for the unfused GN-kernel + XLA
+# conv pair.
+#
+# MEASURED NEGATIVE RESULT (r5, v5e, chained K-vs-1 timing; see
+# tools/bench_conv.py --vae): this variant is NOT dispatched. At VAE
+# pixel resolutions XLA's conv runs at 75-88% MXU (unlike the 54-69% it
+# gets on the UNet's latent shapes), so the unfused pair beats the
+# windowed kernel everywhere it is eligible: (512,640,128) 0.65 vs
+# 1.15 ms, (256,320,512) 2.23 vs 2.72 ms, (512,640,256) 2.65 vs 3.42 ms,
+# (2,96,128,640->320) 1.06 vs 1.07 ms (where the full-plane kernel wins
+# at 0.89 ms anyway). The kernel's exposed per-window DMA + VPU normalize
+# at skinny channel counts eats the one-HBM-move advantage, and the only
+# shapes with real XLA headroom (the 960/1920-channel up-concat levels at
+# 768p) cannot be manually DMA'd at all: Mosaic requires lane-dim slices
+# of an HBM memref to be 128-aligned. Kept (with interpret-mode parity
+# tests) as the documented experiment; revisit only if a future Mosaic
+# relaxes the lane-slice alignment rule.
+
+
+def _scale_shift(x, gw, gb, add, *, num_groups, eps):
+    """Per-(B, C) GroupNorm scale/shift in fp32 (spatial reduction per
+    channel, group aggregation on (B, C) moments — never reshaping the
+    activation to (B, HW, G, C/G))."""
+    b, h, wd, cin = x.shape
+    x32 = x.astype(jnp.float32)
+    s1 = jnp.sum(x32, axis=(1, 2))            # (B, C)
+    s2 = jnp.sum(x32 * x32, axis=(1, 2))      # (B, C)
+    m = jnp.float32(h * wd)
+    if add is not None:
+        t = add.astype(jnp.float32)
+        s2 = s2 + 2.0 * t * s1 + m * t * t
+        s1 = s1 + m * t
+    g = num_groups
+    cpg = cin // g
+    n = m * cpg
+    gs1 = s1.reshape(b, g, cpg).sum(-1)
+    gs2 = s2.reshape(b, g, cpg).sum(-1)
+    mean_g = gs1 / n
+    var_g = gs2 / n - mean_g * mean_g
+    inv_g = jax.lax.rsqrt(var_g + eps)
+    mean = jnp.repeat(mean_g, cpg, axis=-1)   # (B, C)
+    inv = jnp.repeat(inv_g, cpg, axis=-1)
+    scale = inv * gw.astype(jnp.float32)[None, :]
+    shift = gb.astype(jnp.float32)[None, :] - mean * scale
+    if add is not None:
+        shift = shift + add.astype(jnp.float32) * scale
+    return scale, shift
+
+
+def _windowed_kernel(
+    ss_ref,     # (1, 2, Cin) fp32: [scale, shift] for this batch row
+    w_ref,      # (3, 3, Cin, Cot)
+    cb_ref,     # (1, Cot)
+    x_ref,      # (B, H, W, Cin) in HBM/ANY — manually DMA'd
+    o_ref,      # (1, hwin, W, Cot)
+    raw_ref,    # VMEM (hwin+2, W, Cin): raw x rows [h0-1, h0+hwin+1)
+    xn_ref,     # VMEM (hwin+2, W+2, Cin): zero-bordered silu(gn(x))
+    sems,       # DMA semaphores (3,)
+    *,
+    hwin: int,
+    H: int,
+    W: int,
+    cin: int,
+    cot: int,
+    nwin: int,
+    act: str,
+):
+    bi = pl.program_id(0)
+    wi = pl.program_id(1)
+    ci = pl.program_id(2)
+    h0 = wi * hwin
+
+    # ---- once per window (ci == 0): DMA rows + normalize into the scratch
+    @pl.when(ci == 0)
+    def _prep():
+        # clamped halo rows: at the image top/bottom the halo row is
+        # re-fetched from inside the image and ZEROED after normalize
+        # (SAME padding), keeping every DMA the same static shape.
+        top = jnp.maximum(h0 - 1, 0)
+        bot = jnp.minimum(h0 + hwin, H - 1)
+        cp_main = pltpu.make_async_copy(
+            x_ref.at[bi, pl.ds(h0, hwin)], raw_ref.at[pl.ds(1, hwin)],
+            sems.at[0],
+        )
+        cp_top = pltpu.make_async_copy(
+            x_ref.at[bi, pl.ds(top, 1)], raw_ref.at[pl.ds(0, 1)], sems.at[1],
+        )
+        cp_bot = pltpu.make_async_copy(
+            x_ref.at[bi, pl.ds(bot, 1)], raw_ref.at[pl.ds(hwin + 1, 1)],
+            sems.at[2],
+        )
+        cp_main.start()
+        cp_top.start()
+        cp_bot.start()
+
+        # zero the side columns once (the scratch persists across grid
+        # steps and nothing below writes columns 0 / W+1)
+        @pl.when((bi == 0) & (wi == 0))
+        def _zero_cols():
+            xn_ref[:, 0, :] = jnp.zeros((hwin + 2, cin), xn_ref.dtype)
+            xn_ref[:, W + 1, :] = jnp.zeros((hwin + 2, cin), xn_ref.dtype)
+
+        scale = ss_ref[0, 0, :][None, :]  # (1, Cin) fp32
+        shift = ss_ref[0, 1, :][None, :]
+        cp_main.wait()
+        cp_top.wait()
+        cp_bot.wait()
+
+        def norm_row(r, _):
+            y = raw_ref[pl.ds(r, 1)].astype(jnp.float32) * scale + shift
+            if act == "silu":
+                y = y * jax.nn.sigmoid(y)
+            xn_ref[pl.ds(r, 1), 1 : W + 1, :] = y.astype(xn_ref.dtype)
+            return 0
+
+        jax.lax.fori_loop(0, hwin + 2, norm_row, 0)
+
+        # SAME-pad zeros where the clamped halo row lies outside the image
+        @pl.when(wi == 0)
+        def _zero_top():
+            xn_ref[0, 1 : W + 1, :] = jnp.zeros((W, cin), xn_ref.dtype)
+
+        @pl.when(wi == nwin - 1)
+        def _zero_bot():
+            xn_ref[hwin + 1, 1 : W + 1, :] = jnp.zeros((W, cin), xn_ref.dtype)
+
+    # ---- nine-tap implicit-GEMM conv for this (window, Cout block)
+    acc = jnp.zeros((hwin * W, cot), jnp.float32)
+    for dy in range(3):
+        xrow = xn_ref[pl.ds(dy, hwin), :, :]  # (hwin, W+2, Cin)
+        for dx in range(3):
+            xs = xrow[:, dx : dx + W, :].reshape(hwin * W, cin)
+            acc = acc + jnp.dot(
+                xs, w_ref[dy, dx], preferred_element_type=jnp.float32
+            )
+    acc = acc + cb_ref[0, :].astype(jnp.float32)
+    o_ref[0, :, :, :] = acc.reshape(hwin, W, cot).astype(o_ref.dtype)
+
+
+def _pick_hwin(h: int, w: int, cin: int, cot: int, itemsize: int
+               ) -> Optional[int]:
+    """Largest divisor-of-H window whose VMEM footprint fits, preferring
+    MXU-friendly GEMM heights (hwin*W >= ~2048 rows)."""
+    for hwin in (32, 16, 8, 4):
+        if h % hwin or h // hwin < 2:
+            continue
+        need = (
+            (hwin + 2) * w * cin * itemsize          # raw rows
+            + (hwin + 2) * (w + 2) * cin * itemsize  # padded scratch
+            + 9 * cin * cot * itemsize               # weight block
+            + hwin * w * cot * 4                     # fp32 accumulator
+            + hwin * w * cot * itemsize              # out block
+            + w * cin * 4 * 2                        # per-row fp32 temp
+        )
+        if need <= _VMEM_BUDGET and hwin * w >= 2048:
+            return hwin
+    return None
+
+
+def _windowed_supported(x, w, num_groups: int) -> bool:
+    if x.ndim != 4 or w.shape[:2] != (3, 3):
+        return False
+    b, h, wd, cin = x.shape
+    co = w.shape[-1]
+    if cin % num_groups:
+        return False
+    # the manual HBM->VMEM row DMA slices the lane (channel) dim of x's
+    # HBM memref: Mosaic requires that slice 128-aligned (a 960-channel
+    # up-concat x is tiled to 1024 in HBM and cannot be DMA-sliced)
+    if cin < 128 or co < 128 or cin % 128:
+        return False
+    itemsize = jnp.dtype(x.dtype).itemsize
+    cot = _pick_cot(cin, co)
+    if cot is None:
+        return False
+    return _pick_hwin(h, wd, cin, cot, itemsize) is not None
+
+
+def _windowed_call(x, gw, gb, add, w, cb, *, num_groups, eps, act,
+                   interpret):
+    b, h, wd, cin = x.shape
+    co = w.shape[-1]
+    itemsize = jnp.dtype(x.dtype).itemsize
+    cot = _pick_cot(cin, co)
+    hwin = _pick_hwin(h, wd, cin, cot, itemsize)
+    nwin = h // hwin
+    scale, shift = _scale_shift(x, gw, gb, add, num_groups=num_groups,
+                                eps=eps)
+    ss = jnp.stack([scale, shift], axis=1)  # (B, 2, Cin) fp32
+    kern = functools.partial(
+        _windowed_kernel, hwin=hwin, H=h, W=wd, cin=cin, cot=cot,
+        nwin=nwin, act=act,
+    )
+    return pl.pallas_call(
+        kern,
+        grid=(b, nwin, co // cot),
+        in_specs=[
+            pl.BlockSpec((1, 2, cin), lambda bi, wi, ci: (bi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 3, cin, cot), lambda bi, wi, ci: (0, 0, 0, ci),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, cot), lambda bi, wi, ci: (0, ci),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # x stays in HBM
+        ],
+        out_specs=pl.BlockSpec(
+            (1, hwin, wd, cot), lambda bi, wi, ci: (bi, wi, 0, ci),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, wd, co), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((hwin + 2, wd, cin), x.dtype),
+            pltpu.VMEM((hwin + 2, wd + 2, cin), x.dtype),
+            pltpu.SemaphoreType.DMA((3,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=(pltpu.InterpretParams() if interpret else False),
+    )(ss, w.astype(x.dtype), cb.reshape(1, co).astype(x.dtype), x)
+
+
 def _xla_reference(x, gw, gb, add, w, cb, *, num_groups, eps, act):
     """Unfused path: identical math in plain XLA (also the VJP recompute)."""
     h = _fg._xla_reference(x, gw, gb, add, num_groups=num_groups, eps=eps,

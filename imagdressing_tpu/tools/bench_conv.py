@@ -103,15 +103,84 @@ def bench_conv(b, h, w, cin, cout, dtype=jnp.bfloat16, k=64):
     }
 
 
-def main():
+# VAE/pixel-resolution GroupNorm+SiLU+conv3x3 chains: the row-windowed
+# Pallas variant (fused_gn_conv._windowed_call) vs the production unfused
+# pair. Documents the r5 negative result (the windowed kernel is not
+# dispatched — see the MEASURED NEGATIVE RESULT note in fused_gn_conv.py).
+VAE_SHAPES = [
+    (1, 512, 640, 128, 128),
+    (1, 256, 320, 512, 512),
+    (1, 512, 640, 256, 128),
+    (1, 128, 160, 512, 512),
+    (2, 96, 128, 640, 320),
+]
+
+
+def bench_gnconv_variants(b, h, w, cin, cout, dtype=jnp.bfloat16, k=24):
+    import imagdressing_tpu.kernels.fused_gn_conv as fgc
+    from imagdressing_tpu.kernels import fused_groupnorm as _fg
+
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (b, h, w, cin), dtype) * 0.5
+    kern = jax.random.normal(key, (3, 3, cin, cout), dtype) * 0.02
+    gw = jnp.ones((cin,), jnp.float32)
+    gb = jnp.zeros((cin,), jnp.float32)
+    cb = jnp.zeros((cout,), jnp.float32)
+    if cin != cout:
+        assert cin % cout == 0, (cin, cout)
+
+    def rechain(y):
+        y = jnp.tile(y, (1, 1, 1, cin // cout)) if cin != cout else y
+        return jnp.tanh(y)
+
+    def pair_step(xc):
+        hdd = _fg.group_norm_act({"scale": gw, "bias": gb}, xc,
+                                 num_groups=32, eps=1e-5, act="silu")
+        y = jax.lax.conv_general_dilated(
+            hdd, kern.astype(hdd.dtype), (1, 1), ((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=hdd.dtype,
+        ) + cb.astype(hdd.dtype)
+        return rechain(y)
+
+    def win_step(xc):
+        return rechain(fgc._windowed_call(
+            xc, gw, gb, None, kern, cb, num_groups=32, eps=1e-5, act="silu",
+            interpret=False,
+        ))
+
+    def full_step(xc):
+        return rechain(fgc._fused_call(
+            xc, gw, gb, None, kern, cb, num_groups=32, eps=1e-5, act="silu",
+            interpret=False,
+        ))
+
+    flops = 2 * b * h * w * 9 * cin * cout
+    row = {"shape": f"({b},{h},{w},{cin})->{cout}"}
+    variants = [("pair_us", pair_step)]
+    if fgc._windowed_supported(x, kern, 32):
+        variants.append(("windowed_us", win_step))
+    if fgc._supported(x, kern, 32):
+        variants.append(("fullplane_us", full_step))
+    for name, step in variants:
+        sec = _timed_scan(step, x, k)
+        row[name] = round(sec * 1e6, 1)
+        row[name.replace("_us", "_mxu_pct")] = round(
+            100 * flops / PEAK_FLOPS / sec, 1
+        )
+    return row
+
+
+def main(vae: bool = False):
     assert jax.default_backend() == "tpu", jax.default_backend()
     out = []
-    for shp in SHAPES:
-        r = bench_conv(*shp)
+    for shp in (VAE_SHAPES if vae else SHAPES):
+        r = bench_gnconv_variants(*shp) if vae else bench_conv(*shp)
         print(json.dumps(r), flush=True)
         out.append(r)
     return out
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+    main(vae="--vae" in sys.argv)

@@ -126,6 +126,48 @@ def test_pick_cot_awkward_cout_falls_back():
     assert fgc._pick_cot(320, 320) == 320  # full block fits
 
 
+@pytest.mark.parametrize("with_add", [False, True])
+def test_windowed_kernel_parity(with_add):
+    """Row-windowed DMA variant: interpret-mode parity vs the unfused XLA
+    chain. The variant is NOT dispatched (measured slower than XLA's
+    75-88% MXU pixel-res convs on v5e — see the negative-result note in
+    fused_gn_conv.py); these tests keep the documented experiment honest."""
+    rng = np.random.default_rng(4)
+    b, h, w, cin, co = (1, 64, 128, 128, 128) if not with_add else \
+        (2, 64, 128, 128, 256)
+    x = jnp.asarray(rng.standard_normal((b, h, w, cin)).astype(np.float32))
+    gw = jnp.asarray(rng.standard_normal(cin).astype(np.float32))
+    gb = jnp.asarray(rng.standard_normal(cin).astype(np.float32))
+    wt = jnp.asarray(
+        (rng.standard_normal((3, 3, cin, co)) * 0.05).astype(np.float32)
+    )
+    cb = jnp.asarray(rng.standard_normal(co).astype(np.float32))
+    t = (
+        jnp.asarray(rng.standard_normal((b, cin)).astype(np.float32))
+        if with_add else None
+    )
+    assert fgc._windowed_supported(x, wt, 32)
+    out = fgc._windowed_call(x, gw, gb, t, wt, cb, num_groups=32, eps=1e-5,
+                             act="silu", interpret=True)
+    ref = _ref(x, gw, gb, t, wt, cb, 32, 1e-5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
+
+
+def test_windowed_gating():
+    """VAE pixel-res shapes are windowed-eligible (but not dispatched);
+    non-128-multiple channel counts are not (Mosaic lane-slice DMA rule)."""
+    for shp, co in [((1, 512, 640, 128), 128), ((1, 256, 320, 512), 512),
+                    ((1, 512, 640, 256), 128)]:
+        x = jax.ShapeDtypeStruct(shp, jnp.bfloat16)
+        w = jax.ShapeDtypeStruct((3, 3, shp[-1], co), jnp.bfloat16)
+        assert fgc._windowed_supported(x, w, 32), (shp, co)
+        assert not fgc._supported(x, w, 32), (shp, co)
+    # 960-channel up-concat: HBM lane slices must be 128-aligned
+    x = jax.ShapeDtypeStruct((2, 96, 128, 960), jnp.bfloat16)
+    w = jax.ShapeDtypeStruct((3, 3, 960, 320), jnp.bfloat16)
+    assert not fgc._windowed_supported(x, w, 32)
+
+
 def test_wrapper_fallback_correct(interp):
     """Unsupported geometry through the model-facing wrapper still computes
     the exact chain (via the fused-GN kernel path)."""
