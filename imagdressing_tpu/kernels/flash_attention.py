@@ -223,6 +223,10 @@ def _flash_call(
         out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            # headroom over the 16 MB default so block sweeps aren't
+            # silently capped (same 64 MB the GN kernels use); the picked
+            # production blocks stay well under it
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=q.size * 2 + k.size * 2 + v.size * 2,
@@ -1088,6 +1092,14 @@ def _flash_forward_pallas(
         cap = max(128, (2048 * 128) // d)
         block_q = min(block_q, cap)
         block_k = min(block_k, cap)
+    # Measured per-shape overrides (r5, v5e, chained K-vs-1 timing; CLAUDE.md
+    # perf ledger) beat the generic pick. Inference forward only: the
+    # residual-saving forward feeds the backward kernels, whose picks were
+    # tuned separately (_BWD_PALLAS_BLOCK_*).
+    if not save_residuals:
+        override = _FWD_BLOCK_TABLE.get((sq, skv, d))
+        if override is not None:
+            block_q, block_k = override
     bq = _pick_block(sq, block_q)
     bk = _pick_block(skv, block_k)
     assert bq is not None and bk is not None, (sq, skv, block_q, block_k)
@@ -1115,6 +1127,16 @@ def _flash_forward_pallas(
     )
     out = out.reshape(b, h, sq, d)
     return jnp.transpose(out, (0, 2, 1, 3))
+
+
+# Measured production block picks, keyed (sq, skv_per_source, d) — r5 sweep
+# on v5e, dual-KV UNet shapes. The mid level's win is a FULL-SOURCE k-block:
+# the whole 1280-token source stays VMEM-resident across 640-row q blocks,
+# halving the kv revisit traffic (0.196 ms vs 0.269 ms at the generic
+# 1280/640 pick, 27%).
+_FWD_BLOCK_TABLE = {
+    (1280, 1280, 80): (640, 1280),
+}
 
 
 def _pick_block(s: int, preferred: int) -> Optional[int]:

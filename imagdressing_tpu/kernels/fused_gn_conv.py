@@ -280,20 +280,36 @@ def _fused_call(x, gw, gb, add, w, cb, *, num_groups, eps, act, interpret):
 # x + 1 write of y, vs 3 reads + 2 writes for the unfused GN-kernel + XLA
 # conv pair.
 #
-# MEASURED NEGATIVE RESULT (r5, v5e, chained K-vs-1 timing; see
-# tools/bench_conv.py --vae): this variant is NOT dispatched. At VAE
-# pixel resolutions XLA's conv runs at 75-88% MXU (unlike the 54-69% it
-# gets on the UNet's latent shapes), so the unfused pair beats the
-# windowed kernel everywhere it is eligible: (512,640,128) 0.65 vs
-# 1.15 ms, (256,320,512) 2.23 vs 2.72 ms, (512,640,256) 2.65 vs 3.42 ms,
-# (2,96,128,640->320) 1.06 vs 1.07 ms (where the full-plane kernel wins
-# at 0.89 ms anyway). The kernel's exposed per-window DMA + VPU normalize
-# at skinny channel counts eats the one-HBM-move advantage, and the only
-# shapes with real XLA headroom (the 960/1920-channel up-concat levels at
-# 768p) cannot be manually DMA'd at all: Mosaic requires lane-dim slices
-# of an HBM memref to be 128-aligned. Kept (with interpret-mode parity
-# tests) as the documented experiment; revisit only if a future Mosaic
-# relaxes the lane-slice alignment rule.
+# MEASURED MIXED RESULT (r5, v5e; see tools/bench_conv.py --vae): dispatch
+# is a per-shape TABLE, not a blanket rule. Under scan-based timing (fresh
+# activations each iteration — the serving situation, where each VAE-decode
+# conv runs once per image) the windowed kernel wins where the GN+conv
+# pair's spatial reduction is bandwidth-exposed: (512,640,256)->128
+# 3.41 vs 4.41 ms (1.29x) and (128,160,512)->512 0.72 vs 0.91 ms (1.26x).
+# It loses at skinny channel counts — (512,640,128)->128 1.37 vs 1.16 ms,
+# (256,320,512)->512 2.86 vs 2.77 ms — where the exposed per-window DMA +
+# VPU normalize eats the one-HBM-move advantage (XLA's conv runs at 75-88%
+# MXU at pixel resolutions, unlike the 54-69% it gets on latent shapes).
+# Only the measured winners are dispatched (_WINDOWED_SHAPES). The shapes
+# with the biggest XLA headroom (960/1920-channel up-concat levels at 768p)
+# cannot be manually DMA'd at all: Mosaic requires lane-dim slices of an
+# HBM memref to be 128-aligned.
+
+# (H, W, Cin, Cout) keys where the windowed kernel measured >=1.25x vs the
+# unfused pair (scan-based, v5e). Batch is excluded: the grid scales
+# linearly with it.
+_WINDOWED_SHAPES = frozenset({
+    (512, 640, 256, 128),   # VAE decoder up3 entry resnet conv1
+    (128, 160, 512, 512),   # VAE decoder up1 resnets
+})
+
+
+def _windowed_preferred(x, w, num_groups: int) -> bool:
+    """True when the measured dispatch table picks the windowed kernel."""
+    if x.ndim != 4 or w.ndim != 4:
+        return False
+    key = (x.shape[1], x.shape[2], x.shape[3], w.shape[-1])
+    return key in _WINDOWED_SHAPES and _windowed_supported(x, w, num_groups)
 
 
 def _scale_shift(x, gw, gb, add, *, num_groups, eps):
@@ -480,7 +496,7 @@ def _windowed_call(x, gw, gb, add, w, cb, *, num_groups, eps, act,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, cot), lambda bi, wi, ci: (0, ci),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # x stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM
         ],
         out_specs=pl.BlockSpec(
             (1, hwin, wd, cot), lambda bi, wi, ci: (bi, wi, 0, ci),
@@ -526,9 +542,15 @@ def _partitioned(with_add: bool, num_groups: int, eps: float, act: str):
         else:
             x, gw, gb, w, cb = args
             add = None
-        if jax.default_backend() == "tpu" and _supported(x, w, num_groups):
-            return _fused_call(x, gw, gb, add, w, cb, num_groups=num_groups,
-                               eps=eps, act=act, interpret=False)
+        if jax.default_backend() == "tpu":
+            if _windowed_preferred(x, w, num_groups):
+                return _windowed_call(x, gw, gb, add, w, cb,
+                                      num_groups=num_groups, eps=eps,
+                                      act=act, interpret=False)
+            if _supported(x, w, num_groups):
+                return _fused_call(x, gw, gb, add, w, cb,
+                                   num_groups=num_groups, eps=eps, act=act,
+                                   interpret=False)
         return _xla_reference(x, gw, gb, add, w, cb, num_groups=num_groups,
                               eps=eps, act=act)
 
@@ -574,10 +596,17 @@ def fused_gn_silu_conv(x, gw, gb, add, w, cb, num_groups, eps, act):
     x: (B, H, W, Cin); gw/gb: (Cin,) GroupNorm affine; add: optional (B, Cin)
     bias (the time embedding); w: (3, 3, Cin, Cout) HWIO; cb: (Cout,).
     """
-    if INTERPRET and _supported(x, w, num_groups):
-        return _fused_call(x, gw, gb, add, w, cb, num_groups=num_groups,
-                           eps=eps, act=act, interpret=True)
-    if _fg._use_pallas() and _supported(x, w, num_groups):
+    if INTERPRET:
+        if _windowed_preferred(x, w, num_groups):
+            return _windowed_call(x, gw, gb, add, w, cb,
+                                  num_groups=num_groups, eps=eps, act=act,
+                                  interpret=True)
+        if _supported(x, w, num_groups):
+            return _fused_call(x, gw, gb, add, w, cb, num_groups=num_groups,
+                               eps=eps, act=act, interpret=True)
+    if _fg._use_pallas() and (
+        _supported(x, w, num_groups) or _windowed_preferred(x, w, num_groups)
+    ):
         fn = _partitioned(add is not None, num_groups, eps, act)
         args = (x, gw, gb) + ((add,) if add is not None else ()) + (w, cb)
         return fn(*args)
@@ -635,7 +664,8 @@ def gn_silu_conv3x3(
     cb = conv_p.get("bias")
     if cb is None:
         cb = jnp.zeros((conv_p["kernel"].shape[-1],), x.dtype)
-    supported = _supported(x, conv_p["kernel"], num_groups)
+    supported = _supported(x, conv_p["kernel"], num_groups) or \
+        _windowed_preferred(x, conv_p["kernel"], num_groups)
     if supported and (INTERPRET or _fg._use_pallas()):
         return fused_gn_silu_conv(
             x, gn_p["scale"], gn_p["bias"], add, conv_p["kernel"], cb,

@@ -221,6 +221,34 @@ def test_flash_kernel_interpret_mode():
     np.testing.assert_allclose(np.asarray(got_single), np_sdpa4(q, k, v), atol=2e-3)
 
 
+def test_flash_block_table_override_matches_xla():
+    """The measured (sq=1280, skv=1280, d=80) production pick — 640-row q
+    blocks against a FULL-SOURCE k block — changes the streaming-softmax
+    accumulation order, never the values: interpret-mode output must match
+    XLA SDPA at the same tolerance as the generic pick."""
+    import imagdressing_tpu.kernels.flash_attention as fa
+    from imagdressing_tpu.ops.attention import _xla_sdpa
+
+    assert fa._FWD_BLOCK_TABLE[(1280, 1280, 80)] == (640, 1280)
+    rng = np.random.default_rng(11)
+    B, S, H, D = 1, 1280, 1, 80
+    q, k, v, kr, vr = (
+        rng.standard_normal((B, S, H, D)).astype(np.float32) for _ in range(5)
+    )
+    scale = np.array([0.7], np.float32)
+    fa.INTERPRET = True
+    try:
+        got = fa.flash_attention(
+            jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+            jnp.asarray(kr), jnp.asarray(vr), jnp.asarray(scale),
+        )
+    finally:
+        fa.INTERPRET = False
+    want = _xla_sdpa(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)) \
+        + 0.7 * _xla_sdpa(jnp.asarray(q), jnp.asarray(kr), jnp.asarray(vr))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-3)
+
+
 def test_flash_kernel_wide_head_dim_interpret():
     """D=512 single-head (the VAE mid-block shape): the head-dim-aware block
     cap must kick in and the kernel must still match XLA SDPA."""

@@ -129,9 +129,9 @@ def test_pick_cot_awkward_cout_falls_back():
 @pytest.mark.parametrize("with_add", [False, True])
 def test_windowed_kernel_parity(with_add):
     """Row-windowed DMA variant: interpret-mode parity vs the unfused XLA
-    chain. The variant is NOT dispatched (measured slower than XLA's
-    75-88% MXU pixel-res convs on v5e — see the negative-result note in
-    fused_gn_conv.py); these tests keep the documented experiment honest."""
+    chain. Dispatched only on the measured _WINDOWED_SHAPES table (>=1.25x
+    vs the pair on v5e scan-based timing — see the mixed-result note in
+    fused_gn_conv.py)."""
     rng = np.random.default_rng(4)
     b, h, w, cin, co = (1, 64, 128, 128, 128) if not with_add else \
         (2, 64, 128, 128, 256)
@@ -154,8 +154,9 @@ def test_windowed_kernel_parity(with_add):
 
 
 def test_windowed_gating():
-    """VAE pixel-res shapes are windowed-eligible (but not dispatched);
-    non-128-multiple channel counts are not (Mosaic lane-slice DMA rule)."""
+    """VAE pixel-res shapes are windowed-eligible; non-128-multiple channel
+    counts are not (Mosaic lane-slice DMA rule). Dispatch itself follows the
+    measured _WINDOWED_SHAPES table."""
     for shp, co in [((1, 512, 640, 128), 128), ((1, 256, 320, 512), 512),
                     ((1, 512, 640, 256), 128)]:
         x = jax.ShapeDtypeStruct(shp, jnp.bfloat16)
@@ -166,6 +167,45 @@ def test_windowed_gating():
     x = jax.ShapeDtypeStruct((2, 96, 128, 960), jnp.bfloat16)
     w = jax.ShapeDtypeStruct((3, 3, 960, 320), jnp.bfloat16)
     assert not fgc._windowed_supported(x, w, 32)
+    # the measured table: winners dispatch, a losing-but-eligible shape
+    # stays on the pair
+    for h, w_, cin, co in sorted(fgc._WINDOWED_SHAPES):
+        x = jax.ShapeDtypeStruct((1, h, w_, cin), jnp.bfloat16)
+        wt = jax.ShapeDtypeStruct((3, 3, cin, co), jnp.bfloat16)
+        assert fgc._windowed_preferred(x, wt, 32), (h, w_, cin, co)
+    x = jax.ShapeDtypeStruct((1, 512, 640, 128), jnp.bfloat16)
+    wt = jax.ShapeDtypeStruct((3, 3, 128, 128), jnp.bfloat16)
+    assert not fgc._windowed_preferred(x, wt, 32)
+
+
+def test_windowed_dispatch_through_wrapper():
+    """A _WINDOWED_SHAPES hit routes the model-facing wrapper through the
+    windowed kernel in interpret mode and matches the XLA chain. Uses the
+    (128,160,512)->512 VAE-decoder shape from the table."""
+    rng = np.random.default_rng(9)
+    b, h, w, cin, co = 1, 128, 160, 512, 512
+    x = jnp.asarray(
+        (rng.standard_normal((b, h, w, cin)) * 0.5).astype(np.float32)
+    )
+    gn_p = {
+        "scale": jnp.asarray(rng.standard_normal(cin).astype(np.float32)),
+        "bias": jnp.asarray(rng.standard_normal(cin).astype(np.float32)),
+    }
+    conv_p = {
+        "kernel": jnp.asarray(
+            (rng.standard_normal((3, 3, cin, co)) * 0.02).astype(np.float32)
+        ),
+        "bias": jnp.asarray(rng.standard_normal(co).astype(np.float32)),
+    }
+    assert fgc._windowed_preferred(x, conv_p["kernel"], 32)
+    fgc.INTERPRET = True
+    try:
+        out = fgc.gn_silu_conv3x3(gn_p, conv_p, x, num_groups=32)
+    finally:
+        fgc.INTERPRET = False
+    ref = _ref(x, gn_p["scale"], gn_p["bias"], None, conv_p["kernel"],
+               conv_p["bias"], 32, 1e-5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-4)
 
 
 def test_wrapper_fallback_correct(interp):
